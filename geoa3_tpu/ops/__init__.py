@@ -1,0 +1,41 @@
+"""Point-cloud primitives: TPU-native equivalents of the reference's native ops.
+
+Replaces (a) the CUDA `pointnet2_ops` extension
+(reference: Model/pointnet2_ops_lib/pointnet2_ops/_ext-src/) and (b) the
+pytorch3d `knn_points`/`knn_gather` dependency used by every loss.
+
+All ops use channel-last layout ([b, n, 3] points, [b, n, c] features) which
+is the natural TPU layout (channels ride the 128-wide lane dimension).
+"""
+
+from geoa3_tpu.ops.knn import (
+    pairwise_sqdist,
+    knn_points,
+    knn_gather,
+)
+from geoa3_tpu.ops.sampling import (
+    furthest_point_sampling,
+    farthest_points_sample,
+    farthest_points_sample_with_normal,
+    gather_points,
+)
+from geoa3_tpu.ops.ball_query import ball_query
+from geoa3_tpu.ops.grouping import (
+    group_points,
+    three_nn,
+    three_interpolate,
+)
+
+__all__ = [
+    "pairwise_sqdist",
+    "knn_points",
+    "knn_gather",
+    "furthest_point_sampling",
+    "farthest_points_sample",
+    "farthest_points_sample_with_normal",
+    "gather_points",
+    "ball_query",
+    "group_points",
+    "three_nn",
+    "three_interpolate",
+]

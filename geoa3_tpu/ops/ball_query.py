@@ -1,0 +1,54 @@
+"""Ball query with exact reference padding semantics.
+
+TPU-native replacement for the CUDA kernel
+(reference: Model/pointnet2_ops_lib/pointnet2_ops/_ext-src/src/ball_query_gpu.cu).
+
+The CUDA kernel scans points in index order per query center, keeps the first
+`nsample` hits with squared distance < radius^2, and pre-fills every slot with
+the FIRST hit (ball_query_gpu.cu:33-41) so under-full balls are padded by
+repeating it. These order-dependent semantics are load-bearing for PointNet++
+logits parity, so they are reproduced exactly: the "first nsample hits in
+index order" are the nsample smallest values of `where(hit, point_index, n)`,
+computed with one `lax.top_k` per query row (vectorised over centers/batch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from geoa3_tpu.ops.knn import pairwise_sqdist
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """xyz [b, n, 3] points, new_xyz [b, m, 3] centers -> idx [b, m, nsample] int32.
+
+    Matches `_ext.ball_query` (reference: ball_query_gpu.cu:9-54): strictly
+    d^2 < r^2, first-`nsample` hits in ascending index order, padded with the
+    first hit. A center with zero hits yields index 0 for every slot (the CUDA
+    kernel leaves garbage there; in-model it cannot happen because centers are
+    FPS-selected members of `xyz`, so distance 0 always qualifies).
+    Non-differentiable (index output).
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
+    n = xyz.shape[1]
+    d2 = pairwise_sqdist(new_xyz, xyz)  # [b, m, n]
+    hit = d2 < radius * radius
+    point_idx = jnp.arange(n, dtype=jnp.int32)  # broadcast over [b, m, n]
+    key = jnp.where(hit, point_idx, n)
+    # nsample smallest keys, ascending == first hits in index order.
+    k_eff = min(nsample, n)  # nsample may exceed the point count
+    neg_topk, _ = jax.lax.top_k(-key, k_eff)  # [b, m, k_eff]
+    idx = -neg_topk
+    if k_eff < nsample:
+        pad = jnp.broadcast_to(
+            idx[..., :1], idx.shape[:-1] + (nsample - k_eff,)
+        )
+        idx = jnp.concatenate([idx, pad], axis=-1)
+    first = idx[..., :1]  # first hit (or n if the ball is empty)
+    idx = jnp.where(idx >= n, first, idx)
+    idx = jnp.where(idx >= n, 0, idx)  # empty ball: all slots -> 0
+    return idx.astype(jnp.int32)

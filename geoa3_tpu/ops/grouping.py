@@ -1,0 +1,56 @@
+"""Grouping + 3-NN feature interpolation.
+
+TPU-native replacements for the CUDA group/interp kernels
+(reference: Model/pointnet2_ops_lib/pointnet2_ops/_ext-src/src/
+group_points_gpu.cu, interpolate_gpu.cu). All are expressed as XLA gathers;
+their backward passes (hand-written atomicAdd scatters in CUDA) fall out of
+XLA's gather VJP.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from geoa3_tpu.ops.knn import knn_points
+
+
+def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """features [b, n, c], idx [b, m, ns] -> [b, m, ns, c].
+
+    Equivalent of `grouping_operation` (reference: group_points_gpu.cu:8-75).
+    """
+    b, m, ns = idx.shape
+    flat = idx.reshape(b, m * ns)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(b, m, ns, features.shape[-1])
+
+
+def three_nn(unknown: jax.Array, known: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """3 nearest neighbours of `unknown` [b, n, 3] in `known` [b, m, 3].
+
+    Returns (dist [b, n, 3], idx [b, n, 3]); dist is NON-squared, matching the
+    python wrapper which sqrt's the CUDA kernel's squared output
+    (reference: pointnet2_utils.py:124-125). Non-differentiable.
+    """
+    res = knn_points(unknown, known, k=3)
+    dist = jnp.sqrt(jax.lax.stop_gradient(res.dists))
+    return dist, res.idx
+
+
+def three_interpolate(
+    features: jax.Array, idx: jax.Array, weight: jax.Array
+) -> jax.Array:
+    """Weighted 3-NN interpolation: features [b, m, c], idx/weight [b, n, 3] -> [b, n, c].
+
+    Equivalent of `three_interpolate` (reference: interpolate_gpu.cu:72-154);
+    differentiable in `features` (the reference treats idx/weight grads as
+    zero, pointnet2_utils.py:188 — stop_gradient on weight is deliberately NOT
+    applied here since the FP module computes weights from non-diff three_nn
+    output anyway).
+    """
+    b, n, k = idx.shape
+    flat = idx.reshape(b, n * k)
+    nbrs = jnp.take_along_axis(features, flat[..., None], axis=1)
+    nbrs = nbrs.reshape(b, n, k, features.shape[-1])
+    return jnp.sum(nbrs * weight[..., None], axis=2)

@@ -1,0 +1,205 @@
+"""Unit tests for the point-cloud ops layer against brute-force numpy oracles.
+
+Oracle implementations follow the documented semantics of the reference CUDA
+kernels (sampling_gpu.cu, ball_query_gpu.cu, group_points_gpu.cu,
+interpolate_gpu.cu) and pytorch3d knn_points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geoa3_tpu import ops
+
+
+def np_pairwise_sqdist(a, b):
+    return ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+
+
+def np_knn(query, points, k):
+    d = np_pairwise_sqdist(query, points)
+    idx = np.argsort(d, axis=-1, kind="stable")[..., :k]
+    dists = np.take_along_axis(d, idx, axis=-1)
+    return dists, idx
+
+
+def np_fps_cuda(xyz, npoint):
+    """Reference CUDA FPS semantics: start at 0, mag<=1e-3 skip, mindist argmax."""
+    b, n, _ = xyz.shape
+    out = np.zeros((b, npoint), np.int32)
+    for bi in range(b):
+        mindist = np.full(n, 1e10)
+        mag_ok = (xyz[bi] ** 2).sum(-1) > 1e-3
+        last = 0
+        for j in range(1, npoint):
+            d = ((xyz[bi] - xyz[bi, last]) ** 2).sum(-1)
+            mindist = np.minimum(mindist, d)
+            score = np.where(mag_ok, mindist, -1.0)
+            last = int(np.argmax(score))
+            out[bi, j] = last
+    return out
+
+
+def np_ball_query(radius, nsample, xyz, new_xyz):
+    b, m, _ = new_xyz.shape
+    n = xyz.shape[1]
+    out = np.zeros((b, m, nsample), np.int32)
+    for bi in range(b):
+        for j in range(m):
+            cnt = 0
+            for k in range(n):
+                if cnt >= nsample:
+                    break
+                d2 = ((new_xyz[bi, j] - xyz[bi, k]) ** 2).sum()
+                if d2 < radius * radius:
+                    if cnt == 0:
+                        out[bi, j, :] = k
+                    out[bi, j, cnt] = k
+                    cnt += 1
+    return out
+
+
+class TestKNN:
+    def test_pairwise_sqdist_matches_numpy(self, rng):
+        a = rng.randn(2, 17, 3).astype(np.float32)
+        b = rng.randn(2, 23, 3).astype(np.float32)
+        got = np.asarray(ops.pairwise_sqdist(a, b))
+        np.testing.assert_allclose(got, np_pairwise_sqdist(a, b), atol=1e-4)
+
+    def test_knn_points_matches_bruteforce(self, rng):
+        q = rng.randn(3, 50, 3).astype(np.float32)
+        p = rng.randn(3, 64, 3).astype(np.float32)
+        res = ops.knn_points(q, p, k=5)
+        nd, ni = np_knn(q, p, 5)
+        np.testing.assert_array_equal(np.asarray(res.idx), ni)
+        np.testing.assert_allclose(np.asarray(res.dists), nd, atol=1e-4)
+
+    def test_knn_self_first_neighbour_is_self(self, rng):
+        p = rng.randn(2, 40, 3).astype(np.float32)
+        res = ops.knn_points(p, p, k=3)
+        np.testing.assert_array_equal(
+            np.asarray(res.idx[..., 0]), np.tile(np.arange(40), (2, 1))
+        )
+        np.testing.assert_allclose(np.asarray(res.dists[..., 0]), 0.0, atol=1e-5)
+
+    def test_knn_gather(self, rng):
+        p = rng.randn(2, 10, 4).astype(np.float32)
+        idx = rng.randint(0, 10, size=(2, 6, 3))
+        got = np.asarray(ops.knn_gather(p, idx))
+        want = np.stack(
+            [p[bi][idx[bi]] for bi in range(2)]
+        )  # [b, n, k, c]
+        np.testing.assert_array_equal(got, want)
+
+    def test_knn_dists_gradient_flows(self, rng):
+        q = jnp.asarray(rng.randn(1, 8, 3).astype(np.float32))
+        p = jnp.asarray(rng.randn(1, 12, 3).astype(np.float32))
+
+        def f(q):
+            return ops.knn_points(q, p, k=1).dists.sum()
+
+        g = jax.grad(f)(q)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestFPS:
+    def test_matches_cuda_semantics(self, rng):
+        xyz = rng.randn(3, 60, 3).astype(np.float32)
+        got = np.asarray(ops.furthest_point_sampling(xyz, 16))
+        np.testing.assert_array_equal(got, np_fps_cuda(xyz, 16))
+
+    def test_mag_skip(self):
+        # points 0/1 near origin must never be selected (except forced start 0)
+        xyz = np.zeros((1, 8, 3), np.float32)
+        xyz[0, 0] = [0.01, 0, 0]
+        xyz[0, 1] = [0, 0.01, 0]
+        xyz[0, 2:] = np.random.RandomState(1).randn(6, 3) + 2.0
+        got = np.asarray(ops.furthest_point_sampling(xyz, 5))
+        assert 1 not in got[0].tolist()
+        np.testing.assert_array_equal(got, np_fps_cuda(xyz, 5))
+
+    def test_random_start_fps_shapes_and_spread(self, rng):
+        pts = rng.randn(2, 100, 3).astype(np.float32)
+        key = jax.random.PRNGKey(0)
+        out = ops.farthest_points_sample(pts, 32, key)
+        assert out.shape == (2, 32, 3)
+        # FPS output should be a subset of the input points
+        for bi in range(2):
+            d = np_pairwise_sqdist(np.asarray(out)[bi : bi + 1], pts[bi : bi + 1])
+            assert (d.min(-1) < 1e-10).all()
+
+    def test_fps_with_normal(self, rng):
+        pts = rng.randn(2, 50, 3).astype(np.float32)
+        nrm = rng.randn(2, 50, 3).astype(np.float32)
+        p, n = ops.farthest_points_sample_with_normal(
+            pts, nrm, 10, jax.random.PRNGKey(1)
+        )
+        assert p.shape == (2, 10, 3) and n.shape == (2, 10, 3)
+
+    def test_gather_points_grad(self, rng):
+        feats = jnp.asarray(rng.randn(1, 10, 4).astype(np.float32))
+        idx = jnp.asarray([[0, 3, 3]], dtype=jnp.int32)
+        g = jax.grad(lambda f: ops.gather_points(f, idx).sum())(feats)
+        # index 3 gathered twice -> grad 2, index 0 once -> 1
+        np.testing.assert_allclose(np.asarray(g[0, 0]), 1.0)
+        np.testing.assert_allclose(np.asarray(g[0, 3]), 2.0)
+        np.testing.assert_allclose(np.asarray(g[0, 1]), 0.0)
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("radius,nsample", [(0.5, 8), (1.0, 4), (0.2, 16)])
+    def test_matches_cuda_semantics(self, rng, radius, nsample):
+        xyz = rng.randn(2, 64, 3).astype(np.float32)
+        centers = xyz[:, ::4, :].copy()
+        got = np.asarray(ops.ball_query(radius, nsample, xyz, centers))
+        np.testing.assert_array_equal(
+            got, np_ball_query(radius, nsample, xyz, centers)
+        )
+
+    def test_padding_repeats_first_hit(self):
+        xyz = np.array([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5]]], np.float32)
+        centers = np.array([[[0, 0, 0]]], np.float32)
+        idx = np.asarray(ops.ball_query(0.5, 4, xyz, centers))
+        np.testing.assert_array_equal(idx[0, 0], [0, 1, 0, 0])
+
+    def test_empty_ball_yields_zero(self):
+        xyz = np.array([[[5, 5, 5], [6, 6, 6]]], np.float32)
+        centers = np.array([[[0, 0, 0]]], np.float32)
+        idx = np.asarray(ops.ball_query(0.1, 3, xyz, centers))
+        np.testing.assert_array_equal(idx[0, 0], [0, 0, 0])
+
+
+class TestGroupingInterp:
+    def test_group_points(self, rng):
+        feats = rng.randn(2, 20, 5).astype(np.float32)
+        idx = rng.randint(0, 20, size=(2, 7, 3)).astype(np.int32)
+        got = np.asarray(ops.group_points(feats, idx))
+        want = np.stack([feats[bi][idx[bi]] for bi in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_three_nn(self, rng):
+        unk = rng.randn(2, 15, 3).astype(np.float32)
+        kno = rng.randn(2, 9, 3).astype(np.float32)
+        dist, idx = ops.three_nn(unk, kno)
+        nd, ni = np_knn(unk, kno, 3)
+        np.testing.assert_array_equal(np.asarray(idx), ni)
+        np.testing.assert_allclose(np.asarray(dist), np.sqrt(nd), atol=1e-4)
+
+    def test_three_interpolate_exact_on_coincident_point(self, rng):
+        # a query exactly on a known point with weight 1 returns its feature
+        kno = rng.randn(1, 6, 3).astype(np.float32)
+        feats = rng.randn(1, 6, 8).astype(np.float32)
+        idx = np.array([[[2, 0, 1]]], np.int32)
+        w = np.array([[[1.0, 0.0, 0.0]]], np.float32)
+        got = np.asarray(ops.three_interpolate(feats, idx, w))
+        np.testing.assert_allclose(got[0, 0], feats[0, 2], atol=1e-6)
+
+    def test_three_interpolate_grad_scatter(self, rng):
+        feats = jnp.asarray(rng.randn(1, 5, 2).astype(np.float32))
+        idx = jnp.asarray([[[0, 1, 2], [0, 3, 4]]], dtype=jnp.int32)
+        w = jnp.full((1, 2, 3), 1.0 / 3, jnp.float32)
+        g = jax.grad(lambda f: ops.three_interpolate(f, idx, w).sum())(feats)
+        # feature 0 used by both rows -> grad 2/3 per channel
+        np.testing.assert_allclose(np.asarray(g[0, 0]), 2.0 / 3, atol=1e-6)
