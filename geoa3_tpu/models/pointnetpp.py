@@ -1,0 +1,269 @@
+"""PointNet++ SSG/MSG victims (TPU-native rebuild of reference Model/PointNetPP_*.py
+and pointnet2_ops/pointnet2_modules.py).
+
+Set-abstraction layout: the per-group shared MLP operates on [b, npoint,
+nsample, c] with channels last, so each "Conv2d 1x1" is one big Dense matmul
+on the MXU; FPS / ball-query / grouping come from geoa3_tpu.ops (the Pallas/
+XLA replacements for the CUDA pointnet2_ops kernels).
+
+Parity notes:
+  * SSG config: SA(512, r=0.2, ns=64, mlp[.,64,64,128]) -> SA(128, r=0.4,
+    ns=64, mlp[128,128,128,256]) -> GroupAll mlp[256,256,512,1024] -> FC head
+    512/256/40 (reference PointNetPP_ssg.py:64-98);
+  * MSG config: SA1 radii [.1,.2,.4] ns [16,32,128], SA2 radii [.2,.4,.8]
+    ns [32,64,128] (reference PointNetPP_msg.py:17-46);
+  * with use_xyz the grouped relative xyz is concatenated BEFORE features
+    (mlp_spec[0] += 3, reference pointnet2_modules.py:112-113; concat order
+    pointnet2_utils.py:322-324);
+  * shared-MLP convs carry no bias when followed by BN (reference
+    pointnet2_modules.py:13) and FC-head Linears are bias-free before BN
+    (reference PointNetPP_ssg.py:89-97); all BNs use torch defaults
+    (eps 1e-5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from geoa3_tpu import ops
+
+BN_EPS = 1e-5
+
+
+class SharedMLP(nn.Module):
+    """Conv2d-1x1 + BN + ReLU stack over channel-last group tensors."""
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, use_bias=False, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=BN_EPS,
+                momentum=0.9,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+def _query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: Optional[jax.Array],
+    use_xyz: bool,
+) -> jax.Array:
+    """Ball-query grouping (reference pointnet2_utils.py:279-333).
+
+    xyz [b,n,3], new_xyz [b,m,3], features [b,n,c] -> [b, m, nsample, 3+c].
+    """
+    idx = ops.ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feats = ops.group_points(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        return grouped_feats
+    assert use_xyz, "cannot have no features and not use xyz"
+    return grouped_xyz
+
+
+def _group_all(
+    xyz: jax.Array, features: Optional[jax.Array], use_xyz: bool
+) -> jax.Array:
+    """GroupAll (reference pointnet2_utils.py:336-379) -> [b, 1, n, 3+c]."""
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped_feats = features[:, None, :, :]
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        return grouped_feats
+    return grouped_xyz
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference pointnet2_modules.py:77-115)."""
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # hidden widths only (input dim is inferred)
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        features: Optional[jax.Array],
+        train: bool = False,
+    ):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            fps_idx = ops.furthest_point_sampling(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, fps_idx)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i in range(len(self.radii)):
+            if self.npoint is not None:
+                grouped = _query_and_group(
+                    self.radii[i],
+                    self.nsamples[i],
+                    xyz,
+                    new_xyz,
+                    features,
+                    self.use_xyz,
+                )
+            else:
+                grouped = _group_all(xyz, features, self.use_xyz)
+            h = SharedMLP(tuple(self.mlps[i]), name=f"mlp{i}")(grouped, train=train)
+            h = jnp.max(h, axis=2)  # max over nsample -> [b, m, c_out]
+            outs.append(h)
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetSAModule(PointnetSAModuleMSG):
+    """Single-scale SA module (reference pointnet2_modules.py:118-146)."""
+
+    @classmethod
+    def make(
+        cls,
+        mlp: Sequence[int],
+        npoint: Optional[int] = None,
+        radius: Optional[float] = None,
+        nsample: Optional[int] = None,
+        use_xyz: bool = True,
+        name: Optional[str] = None,
+    ) -> "PointnetSAModule":
+        return cls(
+            npoint=npoint,
+            radii=[radius],
+            nsamples=[nsample],
+            mlps=[mlp],
+            use_xyz=use_xyz,
+            name=name,
+        )
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation via 3-NN interpolation (reference pointnet2_modules.py:149-209).
+
+    Not used by the shipped classifiers but part of the library surface.
+    """
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown: Optional[jax.Array],
+        known: Optional[jax.Array],
+        unknow_feats: Optional[jax.Array],
+        known_feats: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        # unknown [b,n,3], known [b,m,3], unknow_feats [b,n,c1], known_feats [b,m,c2]
+        if known is not None:
+            dist, idx = ops.three_nn(unknown, known)
+            dist_recip = 1.0 / (dist + 1e-8)
+            norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+            weight = dist_recip / norm
+            interpolated = ops.three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats,
+                (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1]),
+            )
+        if unknow_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknow_feats], axis=-1)
+        else:
+            new_features = interpolated
+        return SharedMLP(tuple(self.mlp), name="mlp")(new_features, train=train)
+
+
+class _ClsHead(nn.Module):
+    """FC head 1024->512->256->classes (reference PointNetPP_ssg.py:89-98)."""
+
+    classes: int = 40
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(512, use_bias=False, name="fc0")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.9, name="bn0"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dense(256, use_bias=False, name="fc1")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.9, name="bn1"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.classes, name="fc2")(x)
+
+
+class PointNet2ClassificationSSG(nn.Module):
+    """PN++ SSG classifier. Input [b, n, 3] (or [b, n, 6] with use_normal)."""
+
+    use_xyz: bool = True
+    use_normal: bool = False
+    classes: int = 40
+
+    def _sa_configs(self):
+        return [
+            dict(npoint=512, radii=[0.2], nsamples=[64], mlps=[[64, 64, 128]]),
+            dict(npoint=128, radii=[0.4], nsamples=[64], mlps=[[128, 128, 256]]),
+            dict(npoint=None, radii=[None], nsamples=[None], mlps=[[256, 512, 1024]]),
+        ]
+
+    @nn.compact
+    def __call__(self, pc: jax.Array, train: bool = False) -> jax.Array:
+        xyz = pc[..., 0:3]
+        features = pc[..., 3:] if pc.shape[-1] > 3 else None
+
+        for i, cfg in enumerate(self._sa_configs()):
+            xyz, features = PointnetSAModuleMSG(
+                npoint=cfg["npoint"],
+                radii=cfg["radii"],
+                nsamples=cfg["nsamples"],
+                mlps=cfg["mlps"],
+                use_xyz=self.use_xyz,
+                name=f"SA{i}",
+            )(xyz, features, train=train)
+
+        return _ClsHead(self.classes, name="head")(features[:, 0, :], train=train)
+
+
+class PointNet2ClassificationMSG(PointNet2ClassificationSSG):
+    """PN++ MSG classifier (reference PointNetPP_msg.py:9-47)."""
+
+    def _sa_configs(self):
+        return [
+            dict(
+                npoint=512,
+                radii=[0.1, 0.2, 0.4],
+                nsamples=[16, 32, 128],
+                mlps=[[32, 32, 64], [64, 64, 128], [64, 96, 128]],
+            ),
+            dict(
+                npoint=128,
+                radii=[0.2, 0.4, 0.8],
+                nsamples=[32, 64, 128],
+                mlps=[[64, 64, 128], [128, 128, 256], [128, 128, 256]],
+            ),
+            dict(
+                npoint=None,
+                radii=[None],
+                nsamples=[None],
+                mlps=[[256, 512, 1024]],
+            ),
+        ]

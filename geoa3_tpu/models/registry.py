@@ -1,0 +1,59 @@
+"""Model registry + eval-closure factory shared by CLI / attack / defense."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from geoa3_tpu.models.pointnet import PointNet
+from geoa3_tpu.models.pointnetpp import (
+    PointNet2ClassificationMSG,
+    PointNet2ClassificationSSG,
+)
+
+ARCHS = ("PointNet", "PointNetPP", "PointNetPP_MSG")
+
+
+def build_model(arch: str, classes: int = 40, npoint: int = 1024):
+    """Build a victim module by reference arch name (reference main_attack.py:135-142)."""
+    if arch == "PointNet":
+        return PointNet(classes=classes, npoint=npoint)
+    if arch == "PointNetPP":
+        return PointNet2ClassificationSSG(
+            use_xyz=True, use_normal=False, classes=classes
+        )
+    if arch == "PointNetPP_MSG":
+        return PointNet2ClassificationMSG(
+            use_xyz=True, use_normal=False, classes=classes
+        )
+    raise ValueError(f"Not support such arch: {arch}")
+
+
+def init_variables(model, key: jax.Array, n: int = 1024) -> dict:
+    """Initialise {params, batch_stats} for a victim on dummy input."""
+    dummy = jnp.zeros((1, n, 3), jnp.float32)
+    return model.init({"params": key}, dummy, train=False)
+
+
+def make_eval_fn(model, variables: dict) -> Callable[[jax.Array], jax.Array]:
+    """Return logits_fn(pc [b, n, 3]) -> [b, classes] in eval mode.
+
+    BatchNorm running stats are baked in as constants (the attack only ever
+    sees the victim in eval mode, reference main_attack.py:146).
+    """
+
+    def logits_fn(pc: jax.Array) -> jax.Array:
+        return model.apply(variables, pc, train=False)
+
+    return logits_fn
+
+
+def make_apply_fn(model) -> Callable[[dict, jax.Array], jax.Array]:
+    """Return logits_fn(variables, pc) for cases where params are traced."""
+
+    def logits_fn(variables: dict, pc: jax.Array) -> jax.Array:
+        return model.apply(variables, pc, train=False)
+
+    return logits_fn
