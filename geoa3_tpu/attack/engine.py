@@ -1,0 +1,542 @@
+"""The GeoA3 attack engine as one compiled XLA program.
+
+TPU-native redesign of reference Attacker/geoA3_attack.py:100-386. The
+reference runs 10 binary-search steps x 500 Adam steps as a Python loop with
+TWO victim forwards per step (a no-grad eval pass per instance, then a grad
+pass) plus host-side best-tracking. Here the whole attack is a single
+`lax.scan(binary) o lax.scan(inner)` program:
+
+  * the eval pass and the grad pass share ONE forward (value_and_grad with
+    aux logits) whenever jitter/subsampling is off — halving victim FLOPs;
+  * best-tracking is a `jnp.where` over carried (best_loss, best_attack,
+    best_step) — no host sync inside the 5000-step loop;
+  * the batch dimension is (instances x targets), vmappable and shardable
+    over a device mesh by the caller (pure function of its inputs).
+
+Documented deviations from reference behaviour (all strictly saner; flagged
+here for the parity audit):
+  1. Best-tracking uses the CURRENT step's constrain loss; the reference
+     reuses the previous iteration's value (geoA3_attack.py:301 reads
+     `constrain_loss` computed by the previous `_forward_step`).
+  2. The binary-search success test is per-instance "succeeded at least once
+     this search step" (iter_best_score != -1); the reference additionally
+     ANDs a stale `output_label` from the final step of the LAST instance in
+     the batch (geoA3_attack.py:375) — a bug.
+  3. RNG is explicit (JAX keys) instead of global torch seeds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from geoa3_tpu import losses as L
+from geoa3_tpu import ops
+from geoa3_tpu.attack.config import AttackConfig
+from geoa3_tpu.attack.project import (
+    estimate_perpendicular,
+    find_offset,
+    lp_clip,
+    offset_proj,
+)
+
+_INF = 1e10
+
+
+class AttackResult(NamedTuple):
+    best_attack: jax.Array  # [b, n, 3]
+    target: jax.Array  # [b]
+    success: jax.Array  # [b] bool (best_loss < 1e10, reference :386)
+    best_attack_step: jax.Array  # [b] int32
+    best_attack_bs_idx: jax.Array  # [b] int32
+    best_loss: jax.Array  # [b]
+    all_loss: jax.Array  # [iter_max_steps, b] — last binary step's losses
+
+
+class _Aux(NamedTuple):
+    logits: jax.Array
+    loss_n: jax.Array
+    cls_loss: jax.Array
+    dis_loss: jax.Array
+    hd_loss: jax.Array
+    curv_loss: jax.Array
+    constrain_loss: jax.Array
+
+
+def _compare(output: jax.Array, target: jax.Array, gt: jax.Array, targeted: bool):
+    """Success predicate (reference Lib/utility.py:151-155)."""
+    return (output == target) if targeted else (output != gt)
+
+
+def _cls_loss(
+    logits: jax.Array, target: jax.Array, cfg: AttackConfig
+) -> jax.Array:
+    """Margin / CE / None classification loss (reference geoA3_attack.py:105-127)."""
+    targeted = cfg.targeted
+    if cfg.cls_loss_type == "Margin":
+        onehot = jax.nn.one_hot(target, cfg.classes, dtype=logits.dtype)
+        fake = jnp.sum(onehot * logits, axis=1)
+        other = jnp.max((1.0 - onehot) * logits - onehot * 10000.0, axis=1)
+        if targeted:
+            return jnp.maximum(other - fake + cfg.confidence, 0.0)
+        return jnp.maximum(fake - other + cfg.confidence, 0.0)
+    if cfg.cls_loss_type == "CE":
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, target)
+        return ce if targeted else -ce
+    if cfg.cls_loss_type == "None":
+        return jnp.zeros(logits.shape[0], logits.dtype)
+    raise AssertionError("Not support such clssification loss")
+
+
+def forward_losses(
+    logits_fn: Callable[[jax.Array], jax.Array],
+    pc_ori: jax.Array,
+    input_curr: jax.Array,
+    normal_ori: jax.Array,
+    kappa_ori: Optional[jax.Array],
+    target: jax.Array,
+    scale_const: jax.Array,
+    cfg: AttackConfig,
+) -> tuple[jax.Array, _Aux]:
+    """One loss evaluation (reference `_forward_step`, geoA3_attack.py:100-180)."""
+    b = input_curr.shape[0]
+    logits = logits_fn(input_curr)
+    cls_loss = _cls_loss(logits, target, cfg)
+
+    if cfg.dis_loss_type == "CD":
+        if cfg.is_cd_single_side:
+            dis_loss = L.pseudo_chamfer_loss(input_curr, pc_ori)
+        else:
+            dis_loss = L.chamfer_loss(input_curr, pc_ori)
+        constrain = cfg.dis_loss_weight * dis_loss
+    elif cfg.dis_loss_type == "L2":
+        assert cfg.hd_loss_weight == 0
+        dis_loss = L.norm_l2_loss(input_curr, pc_ori)
+        constrain = cfg.dis_loss_weight * dis_loss
+    elif cfg.dis_loss_type == "None":
+        dis_loss = jnp.zeros(b, input_curr.dtype)
+        constrain = jnp.zeros(b, input_curr.dtype)
+    else:
+        raise AssertionError("Not support such distance loss")
+
+    if cfg.hd_loss_weight != 0:
+        hd_loss = L.hausdorff_loss(input_curr, pc_ori)
+        constrain = constrain + cfg.hd_loss_weight * hd_loss
+    else:
+        hd_loss = jnp.zeros(b, input_curr.dtype)
+
+    if cfg.curv_loss_weight != 0:
+        adv_kappa, _ = L.get_kappa_adv(
+            input_curr, pc_ori, normal_ori, cfg.curv_loss_knn
+        )
+        curv_loss = L.curvature_loss(input_curr, pc_ori, adv_kappa, kappa_ori)
+        constrain = constrain + cfg.curv_loss_weight * curv_loss
+    else:
+        curv_loss = jnp.zeros(b, input_curr.dtype)
+
+    if cfg.uniform_loss_weight != 0:
+        constrain = constrain + cfg.uniform_loss_weight * L.uniform_loss(input_curr)
+
+    loss_n = cls_loss + scale_const * constrain
+    loss = loss_n.mean()
+    aux = _Aux(logits, loss_n, cls_loss, dis_loss, hd_loss, curv_loss, constrain)
+    return loss, aux
+
+
+def _make_optimizer(cfg: AttackConfig):
+    """Adam/SGD + optional exponential LR decay (reference :264-277)."""
+    if cfg.is_use_lr_scheduler:
+        lr = optax.exponential_decay(
+            cfg.lr, transition_steps=1, decay_rate=cfg.lr_gamma
+        )
+    else:
+        lr = cfg.lr
+    if cfg.optim == "adam":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.optim == "sgd":
+        momentum = 0.9 if cfg.is_partial_var else None  # reference :252-253 / :272
+        return optax.sgd(lr, momentum=momentum)
+    raise AssertionError("Not support such optimizer.")
+
+
+def _ensemble_eval(
+    logits_fn, input_all, target, gt_target, cfg: AttackConfig, key
+):
+    """FPS-resample ensemble vote for oversized clouds (reference :290-295)."""
+    e = cfg.eval_num
+    b, n, _ = input_all.shape
+    keys = jax.random.split(key, e)
+    pcs = jax.vmap(lambda k: ops.farthest_points_sample(input_all, cfg.npoint, k))(
+        keys
+    )  # [e, b, npoint, 3]
+    logits = logits_fn(pcs.reshape(e * b, cfg.npoint, 3))
+    preds = jnp.argmax(logits.reshape(e, b, -1), axis=-1)  # [e, b]
+    succ = _compare(preds, target[None], gt_target[None], cfg.targeted)
+    success = jnp.sum(succ, axis=0) > 0.5 * e
+    counts = jax.nn.one_hot(preds, cfg.classes).sum(axis=0)  # [b, classes]
+    output_label = jnp.argmax(counts, axis=-1)  # mode
+    return success, output_label
+
+
+class _Best(NamedTuple):
+    loss: jax.Array  # [b]
+    attack: jax.Array  # [b, n, 3]
+    step: jax.Array  # [b]
+    bs_idx: jax.Array  # [b]
+
+
+def make_attack_fn(
+    logits_fn: Callable[[jax.Array], jax.Array],
+    cfg: AttackConfig,
+) -> Callable[..., AttackResult]:
+    """Build the whole-attack program for a fixed config.
+
+    `logits_fn(pc [b, n, 3]) -> [b, classes]` must close over victim params
+    (eval mode). The returned function is pure and jit/shard-friendly:
+
+        attack_fn(pc_ori [b,n,3], normal_ori [b,n,3],
+                  gt_target [b], target [b], key) -> AttackResult
+    """
+    cfg = cfg.validate()
+    targeted = cfg.targeted
+
+    def attack_fn(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
+        if cfg.is_partial_var:
+            return _attack_partial_var(
+                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
+            )
+        b, n, _ = pc_ori.shape
+        subsample = cfg.is_subsample_opt and (not cfg.is_partial_var) and (
+            n > cfg.npoint
+        )
+
+        kappa_ori = (
+            L.get_kappa_ori(pc_ori, normal_ori, cfg.curv_loss_knn)
+            if cfg.curv_loss_weight != 0
+            else None
+        )
+        tx = _make_optimizer(cfg)
+
+        def loss_of_offset(offset, periodical_pc, jitter_noise, scale_const, fps_key):
+            input_all = periodical_pc + offset
+            if subsample:
+                input_curr = ops.farthest_points_sample(
+                    input_all, cfg.npoint, fps_key
+                )
+            else:
+                input_curr = input_all
+            if cfg.is_pre_jitter_input:
+                input_curr = input_curr + jax.lax.stop_gradient(jitter_noise)
+            return forward_losses(
+                logits_fn,
+                pc_ori,
+                input_curr,
+                normal_ori,
+                kappa_ori,
+                target,
+                scale_const,
+                cfg,
+            )
+
+        grad_fn = jax.value_and_grad(loss_of_offset, has_aux=True)
+
+        def run_inner(best, periodical_pc, scale_const, bs_idx, key):
+            """One full inner optimisation (iter_max_steps Adam steps)."""
+
+            def inner_step(carry, step):
+                offset, opt_state, best, it_loss, it_score, jitter, key = carry
+                key, k_jit, k_fps, k_eval = jax.random.split(key, 4)
+                input_all = periodical_pc + offset
+
+                # --- tangent jitter refresh every K steps (reference :312-317) ---
+                if cfg.is_pre_jitter_input:
+                    jitter = jax.lax.cond(
+                        step % cfg.calculate_project_jitter_noise_iter == 0,
+                        lambda: estimate_perpendicular(
+                            k_jit,
+                            input_all,
+                            cfg.jitter_k,
+                            cfg.jitter_sigma,
+                            cfg.jitter_clip,
+                        ),
+                        lambda: jitter,
+                    )
+
+                # --- fused forward+grad ---
+                (_, aux), grads = grad_fn(
+                    offset, periodical_pc, jitter, scale_const, k_fps
+                )
+
+                # --- eval / best tracking (reference :288-310) ---
+                if subsample:
+                    success, output_label = _ensemble_eval(
+                        logits_fn, input_all, target, gt_target, cfg, k_eval
+                    )
+                elif cfg.is_pre_jitter_input:
+                    # grad pass saw jittered input; eval must see the clean cloud
+                    logits_eval = logits_fn(input_all)
+                    output_label = jnp.argmax(logits_eval, axis=-1)
+                    success = _compare(output_label, target, gt_target, targeted)
+                else:
+                    output_label = jnp.argmax(aux.logits, axis=-1)
+                    success = _compare(output_label, target, gt_target, targeted)
+
+                metric = aux.constrain_loss
+                better = success & (metric < best.loss)
+                best = _Best(
+                    loss=jnp.where(better, metric, best.loss),
+                    attack=jnp.where(better[:, None, None], input_all, best.attack),
+                    step=jnp.where(better, step, best.step),
+                    bs_idx=jnp.where(better, bs_idx, best.bs_idx),
+                )
+                it_better = success & (metric < it_loss)
+                it_loss = jnp.where(it_better, metric, it_loss)
+                it_score = jnp.where(
+                    it_better, output_label.astype(jnp.int32), it_score
+                )
+
+                # --- optimizer step ---
+                updates, opt_state = tx.update(grads, opt_state)
+                offset = optax.apply_updates(offset, updates)
+
+                # --- projections (reference :341-352) ---
+                if cfg.is_pro_grad:
+                    if cfg.is_real_offset:
+                        offset = find_offset(pc_ori, periodical_pc + offset)
+                    offset = offset_proj(offset, pc_ori, normal_ori)
+                if cfg.cc_linf != 0:
+                    offset = lp_clip(offset, cfg.cc_linf)
+
+                return (offset, opt_state, best, it_loss, it_score, jitter, key), (
+                    aux.loss_n
+                )
+
+            k_init, k_scan = jax.random.split(key)
+            offset0 = 1e-3 * jax.random.normal(k_init, (b, n, 3), pc_ori.dtype)
+            opt_state0 = tx.init(offset0)
+            it_loss0 = jnp.full((b,), _INF, pc_ori.dtype)
+            it_score0 = jnp.full((b,), -1, jnp.int32)
+            jitter0 = jnp.zeros((b, n, 3), pc_ori.dtype)
+            carry0 = (offset0, opt_state0, best, it_loss0, it_score0, jitter0, k_scan)
+            carry, loss_ys = jax.lax.scan(
+                inner_step, carry0, jnp.arange(cfg.iter_max_steps)
+            )
+            _, _, best, it_loss, it_score, _, _ = carry
+            return best, it_score, loss_ys
+
+        def binary_step(carry, bs_idx):
+            lower, upper, const, best, key = carry
+            key, k_run = jax.random.split(key)
+            best, it_score, loss_ys = run_inner(best, pc_ori, const, bs_idx, k_run)
+
+            # --- C&W const update (reference :374-384; see deviation note 2) ---
+            success = it_score != -1
+            new_lower = jnp.where(success, jnp.maximum(lower, const), lower)
+            new_upper = jnp.where(success, upper, jnp.minimum(upper, const))
+            const_success = jnp.where(
+                new_upper < 1e9, (new_lower + new_upper) * 0.5, const * 2
+            )
+            const_fail = jnp.where(
+                new_upper < 1e9, (new_lower + new_upper) * 0.5, const
+            )
+            new_const = jnp.where(success, const_success, const_fail)
+            return (new_lower, new_upper, new_const, best, key), loss_ys
+
+        lower0 = jnp.zeros((b,), pc_ori.dtype)
+        upper0 = jnp.full((b,), _INF, pc_ori.dtype)
+        const0 = jnp.full((b,), cfg.initial_const, pc_ori.dtype)
+        best0 = _Best(
+            loss=jnp.full((b,), _INF, pc_ori.dtype),
+            attack=jnp.ones((b, n, 3), pc_ori.dtype),  # reference :226
+            step=jnp.full((b,), -1, jnp.int32),
+            bs_idx=jnp.full((b,), -1, jnp.int32),
+        )
+        (lower, upper, const, best, _), all_loss = jax.lax.scan(
+            binary_step,
+            (lower0, upper0, const0, best0, key),
+            jnp.arange(cfg.binary_max_steps),
+        )
+
+        return AttackResult(
+            best_attack=best.attack,
+            target=target,
+            success=best.loss < _INF,
+            best_attack_step=best.step,
+            best_attack_bs_idx=best.bs_idx,
+            best_loss=best.loss,
+            all_loss=all_loss[-1],  # reference returns the last search step's
+        )
+
+    return attack_fn
+
+
+def _attack_partial_var(
+    logits_fn, cfg: AttackConfig, pc_ori, normal_ori, gt_target, target, key
+) -> AttackResult:
+    """Partial-variable mode: optimise offsets on a kNN patch, re-picked every
+    `partial_reinit_every` steps (reference geoA3_attack.py:239-262,279-281).
+
+    Parity notes: the random patch seed index is shared across the batch
+    (reference :243 uses one np.random.randint); each phase keeps the previous
+    phase's LAST pre-update cloud as its base (`periodical_pc`, :259-262);
+    the reference's pro_grad/cc_linf writes are dead in this mode (they write
+    a tensor that is rebuilt from part_offset next step), so they are not
+    applied here.
+    """
+    targeted = cfg.targeted
+    b, n, _ = pc_ori.shape
+    kr = cfg.knn_range
+    reinit = cfg.partial_reinit_every
+    assert cfg.iter_max_steps % reinit == 0, (
+        "iter_max_steps must be a multiple of partial_reinit_every in "
+        "partial-var mode"
+    )
+    n_phases = cfg.iter_max_steps // reinit
+
+    kappa_ori = (
+        L.get_kappa_ori(pc_ori, normal_ori, cfg.curv_loss_knn)
+        if cfg.curv_loss_weight != 0
+        else None
+    )
+    tx = _make_optimizer(cfg)
+    batch_rows = jnp.arange(b)[:, None]
+
+    def pad_offset(part_offset, nbr_idx):
+        full = jnp.zeros((b, n, 3), pc_ori.dtype)
+        return full.at[batch_rows, nbr_idx].set(part_offset)
+
+    def loss_of_part(part_offset, nbr_idx, periodical_pc, scale_const):
+        input_all = periodical_pc + pad_offset(part_offset, nbr_idx)
+        loss, aux = forward_losses(
+            logits_fn,
+            pc_ori,
+            input_all,
+            normal_ori,
+            kappa_ori,
+            target,
+            scale_const,
+            cfg,
+        )
+        return loss, (aux, input_all)
+
+    grad_fn = jax.value_and_grad(loss_of_part, has_aux=True)
+
+    def binary_step(carry, bs_idx):
+        lower, upper, const, best, key = carry
+
+        def phase_step(ph_carry, phase_idx):
+            periodical_pc, best, it_loss, it_score, key = ph_carry
+            key, k_pt, k_off, k_scan = jax.random.split(key, 4)
+            # pick a patch: kNN of one random seed point (reference :243-245)
+            seed_idx = jax.random.randint(k_pt, (), 0, n)
+            q = jax.lax.dynamic_slice_in_dim(pc_ori, seed_idx, 1, axis=1)
+            nbr_idx = ops.knn_points(q, pc_ori, kr + 1).idx[:, 0, 1:]  # [b, kr]
+            part0 = 1e-3 * jax.random.normal(k_off, (b, kr, 3), pc_ori.dtype)
+            opt_state0 = tx.init(part0)
+
+            def inner(in_carry, i):
+                part, opt_state, best, it_loss, it_score, last_input = in_carry
+                step = phase_idx * reinit + i
+                (_, (aux, input_all)), grads = grad_fn(
+                    part, nbr_idx, periodical_pc, const
+                )
+                output_label = jnp.argmax(aux.logits, axis=-1)
+                success = _compare(output_label, target, gt_target, targeted)
+                metric = aux.constrain_loss
+                better = success & (metric < best.loss)
+                best = _Best(
+                    loss=jnp.where(better, metric, best.loss),
+                    attack=jnp.where(better[:, None, None], input_all, best.attack),
+                    step=jnp.where(better, step, best.step),
+                    bs_idx=jnp.where(better, bs_idx, best.bs_idx),
+                )
+                it_better = success & (metric < it_loss)
+                it_loss = jnp.where(it_better, metric, it_loss)
+                it_score = jnp.where(
+                    it_better, output_label.astype(jnp.int32), it_score
+                )
+                updates, opt_state = tx.update(grads, opt_state)
+                part = optax.apply_updates(part, updates)
+                return (part, opt_state, best, it_loss, it_score, input_all), (
+                    aux.loss_n
+                )
+
+            in0 = (part0, opt_state0, best, it_loss, it_score, periodical_pc)
+            (part, _, best, it_loss, it_score, last_input), loss_ys = jax.lax.scan(
+                inner, in0, jnp.arange(reinit)
+            )
+            # next phase bases off the last PRE-update cloud (reference :260)
+            return (last_input, best, it_loss, it_score, key), loss_ys
+
+        it_loss0 = jnp.full((b,), _INF, pc_ori.dtype)
+        it_score0 = jnp.full((b,), -1, jnp.int32)
+        (_, best, it_loss, it_score, key), loss_ys = jax.lax.scan(
+            phase_step,
+            (pc_ori, best, it_loss0, it_score0, key),
+            jnp.arange(n_phases),
+        )
+        loss_ys = loss_ys.reshape(cfg.iter_max_steps, b)
+
+        success = it_score != -1
+        new_lower = jnp.where(success, jnp.maximum(lower, const), lower)
+        new_upper = jnp.where(success, upper, jnp.minimum(upper, const))
+        const_success = jnp.where(
+            new_upper < 1e9, (new_lower + new_upper) * 0.5, const * 2
+        )
+        const_fail = jnp.where(new_upper < 1e9, (new_lower + new_upper) * 0.5, const)
+        new_const = jnp.where(success, const_success, const_fail)
+        return (new_lower, new_upper, new_const, best, key), loss_ys
+
+    lower0 = jnp.zeros((b,), pc_ori.dtype)
+    upper0 = jnp.full((b,), _INF, pc_ori.dtype)
+    const0 = jnp.full((b,), cfg.initial_const, pc_ori.dtype)
+    best0 = _Best(
+        loss=jnp.full((b,), _INF, pc_ori.dtype),
+        attack=jnp.ones((b, n, 3), pc_ori.dtype),
+        step=jnp.full((b,), -1, jnp.int32),
+        bs_idx=jnp.full((b,), -1, jnp.int32),
+    )
+    (_, _, _, best, _), all_loss = jax.lax.scan(
+        binary_step,
+        (lower0, upper0, const0, best0, key),
+        jnp.arange(cfg.binary_max_steps),
+    )
+    return AttackResult(
+        best_attack=best.attack,
+        target=target,
+        success=best.loss < _INF,
+        best_attack_step=best.step,
+        best_attack_bs_idx=best.bs_idx,
+        best_loss=best.loss,
+        all_loss=all_loss[-1],
+    )
+
+
+def attack(
+    logits_fn: Callable[[jax.Array], jax.Array],
+    pc_ori: jax.Array,
+    normal_ori: jax.Array,
+    gt_target: jax.Array,
+    target: jax.Array,
+    cfg: AttackConfig,
+    key: jax.Array,
+    jit: bool = True,
+) -> AttackResult:
+    """Convenience one-shot entry (reference `attack`, geoA3_attack.py:182-386).
+
+    pc_ori/normal_ori are channel-last [b, n, 3]; gt_target/target are [b]
+    int labels. For `Untarget`, pass target == gt_target.
+    """
+    fn = make_attack_fn(logits_fn, cfg)
+    if jit:
+        fn = jax.jit(fn)
+    return fn(
+        jnp.asarray(pc_ori),
+        jnp.asarray(normal_ori),
+        jnp.asarray(gt_target),
+        jnp.asarray(target),
+        key,
+    )
