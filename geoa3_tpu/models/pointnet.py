@@ -36,24 +36,40 @@ def _identity_bias(K: int):
     return init
 
 
+def _masked_max(h: jax.Array, point_mask, axis: int = 1) -> jax.Array:
+    """Max over the point axis, excluding masked-out (padded) points.
+
+    Padding support for static-shape defense eval: clouds shrunk by outlier
+    removal are padded back to n and excluded from every global max. With
+    `point_mask=None` this is a plain max (the reference semantics).
+    """
+    if point_mask is None:
+        return jnp.max(h, axis=axis)
+    neg = jnp.finfo(h.dtype).min
+    return jnp.max(jnp.where(point_mask[..., None], h, neg), axis=axis)
+
+
 class TransformNet(nn.Module):
     """KxK spatial/feature transform net (reference Model/PointNet.py:56-94)."""
 
     K: int = 3
+    bn_momentum: float = 0.9  # flax convention: new = m*old + (1-m)*batch
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, point_mask=None
+    ) -> jax.Array:
         # x: [b, n, K] -> [b, K, K]
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train,
             epsilon=CONV_BN_EPS,
-            momentum=0.9,
+            momentum=self.bn_momentum,
             name=name,
         )
         h = nn.relu(bn("bn1")(nn.Dense(64, name="conv1")(x)))
         h = nn.relu(bn("bn2")(nn.Dense(128, name="conv2")(h)))
         h = nn.relu(bn("bn3")(nn.Dense(1024, name="conv3")(h)))
-        h = jnp.max(h, axis=1)  # [b, 1024]
+        h = _masked_max(h, point_mask)  # [b, 1024]
         h = nn.relu(bn("bn4")(nn.Dense(512, name="fc1")(h)))
         h = nn.relu(bn("bn5")(nn.Dense(256, name="fc2")(h)))
         h = nn.Dense(
@@ -73,29 +89,45 @@ class PointNet(nn.Module):
 
     classes: int = 40
     npoint: int = 1024  # informational only, matches the reference ctor arg
+    bn_momentum: float = 0.9  # flax convention (torch momentum = 1 - this)
 
     @nn.compact
-    def __call__(self, pc: jax.Array, train: bool = False):
+    def __call__(self, pc: jax.Array, train: bool = False, point_mask=None):
         assert pc.shape[-1] == 3, "expected channel-last [b, n, 3]"
         bn = lambda name, eps: nn.BatchNorm(
-            use_running_average=not train, epsilon=eps, momentum=0.9, name=name
+            use_running_average=not train,
+            epsilon=eps,
+            momentum=self.bn_momentum,
+            name=name,
         )
 
-        t_in = TransformNet(K=3, name="input_transform")(pc, train=train)
+        t_in = TransformNet(
+            K=3, bn_momentum=self.bn_momentum, name="input_transform"
+        )(
+            pc, train=train, point_mask=point_mask
+        )
         feat = jnp.einsum("bnk,bkj->bnj", pc, t_in)
         feat = nn.relu(bn("bn1", CONV_BN_EPS)(nn.Dense(64, name="conv1")(feat)))
         feat = nn.relu(bn("bn2", CONV_BN_EPS)(nn.Dense(64, name="conv2")(feat)))
 
-        t_feat = TransformNet(K=64, name="feature_transform")(feat, train=train)
+        t_feat = TransformNet(
+            K=64, bn_momentum=self.bn_momentum, name="feature_transform"
+        )(
+            feat, train=train, point_mask=point_mask
+        )
         feat = jnp.einsum("bnk,bkj->bnj", feat, t_feat)
         feat = nn.relu(bn("bn3", CONV_BN_EPS)(nn.Dense(64, name="conv3")(feat)))
         feat = nn.relu(bn("bn4", CONV_BN_EPS)(nn.Dense(128, name="conv4")(feat)))
-        # conv5: kernel-3 conv over the (padded) point axis (reference :110)
+        # conv5: kernel-3 conv over the (padded) point axis (reference :110).
+        # Masked (padded) positions are zeroed first so the kernel sees the
+        # same zero-boundary a physically shrunken cloud would.
+        if point_mask is not None:
+            feat = jnp.where(point_mask[..., None], feat, 0.0)
         feat = nn.Conv(
             1024, kernel_size=(3,), padding=[(1, 1)], name="conv5"
         )(feat)
         feat = nn.relu(bn("bn5", CONV_BN_EPS)(feat))
-        feat = jnp.max(feat, axis=1)  # [b, 1024]
+        feat = _masked_max(feat, point_mask)  # [b, 1024]
 
         feat = nn.relu(bn("bn6", FC_BN_EPS)(nn.Dense(512, name="fc1")(feat)))
         feat = nn.Dropout(0.3, deterministic=not train)(feat)

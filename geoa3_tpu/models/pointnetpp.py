@@ -38,6 +38,7 @@ class SharedMLP(nn.Module):
     """Conv2d-1x1 + BN + ReLU stack over channel-last group tensors."""
 
     features: Sequence[int]
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -46,7 +47,7 @@ class SharedMLP(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 epsilon=BN_EPS,
-                momentum=0.9,
+                momentum=self.bn_momentum,
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)
@@ -97,6 +98,7 @@ class PointnetSAModuleMSG(nn.Module):
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]  # hidden widths only (input dim is inferred)
     use_xyz: bool = True
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(
@@ -125,7 +127,11 @@ class PointnetSAModuleMSG(nn.Module):
                 )
             else:
                 grouped = _group_all(xyz, features, self.use_xyz)
-            h = SharedMLP(tuple(self.mlps[i]), name=f"mlp{i}")(grouped, train=train)
+            h = SharedMLP(
+                tuple(self.mlps[i]),
+                bn_momentum=self.bn_momentum,
+                name=f"mlp{i}",
+            )(grouped, train=train)
             h = jnp.max(h, axis=2)  # max over nsample -> [b, m, c_out]
             outs.append(h)
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -194,17 +200,24 @@ class _ClsHead(nn.Module):
     """FC head 1024->512->256->classes (reference PointNetPP_ssg.py:89-98)."""
 
     classes: int = 40
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.Dense(512, use_bias=False, name="fc0")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.9, name="bn0"
+            use_running_average=not train,
+            epsilon=BN_EPS,
+            momentum=self.bn_momentum,
+            name="bn0",
         )(x)
         x = nn.relu(x)
         x = nn.Dense(256, use_bias=False, name="fc1")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.9, name="bn1"
+            use_running_average=not train,
+            epsilon=BN_EPS,
+            momentum=self.bn_momentum,
+            name="bn1",
         )(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
@@ -217,6 +230,7 @@ class PointNet2ClassificationSSG(nn.Module):
     use_xyz: bool = True
     use_normal: bool = False
     classes: int = 40
+    bn_momentum: float = 0.9
 
     def _sa_configs(self):
         return [
@@ -237,10 +251,13 @@ class PointNet2ClassificationSSG(nn.Module):
                 nsamples=cfg["nsamples"],
                 mlps=cfg["mlps"],
                 use_xyz=self.use_xyz,
+                bn_momentum=self.bn_momentum,
                 name=f"SA{i}",
             )(xyz, features, train=train)
 
-        return _ClsHead(self.classes, name="head")(features[:, 0, :], train=train)
+        return _ClsHead(
+            self.classes, bn_momentum=self.bn_momentum, name="head"
+        )(features[:, 0, :], train=train)
 
 
 class PointNet2ClassificationMSG(PointNet2ClassificationSSG):

@@ -1,0 +1,300 @@
+"""Victim training loop (TPU-native rebuild of reference main_train.py).
+
+One jitted train step (forward + label-smoothing CE + T-Net orthogonality
+penalty + Adam-with-L2) over channel-last batches; the data pipeline is the
+reference's batch-iterator protocol. Parity pieces (reference main_train.py):
+  * label smoothing 0.2 (:86-105);
+  * PointNet T-Net orthogonality penalty sum((T T^t - I)^2)/2 * 0.001
+    (:219-223);
+  * Adam lr 1e-3 with L2 weight decay 1e-4 on every parameter (:159-164) —
+    torch-style coupled decay, i.e. wd*param added to the gradient BEFORE the
+    Adam moments;
+  * lr x0.7 every 20 epochs, floor 1e-5, applied at epoch end (:112-116,245);
+  * BN momentum 0.5 * 0.5^(epoch//20), floor 0.01 (PointNet.py:166-179,
+    PointNetPP_ssg.py:18-44,126-132) — flax momentum = 1 - torch momentum;
+  * y/z axis swap [0, 2, 1] on inputs (:211,279);
+  * per-class + instance accuracy, best-checkpoint rule (:311-339).
+
+Multi-chip: `make_train_step` returns a pure (state, batch, rng) -> (state,
+metrics) function; shard the batch over a mesh data axis and let XLA insert
+the gradient all-reduce (see geoa3_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geoa3_tpu.models.registry import build_model
+from geoa3_tpu.utils.meters import AverageMeter, format_time
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    arch: str = "PointNet"
+    classes: int = 40
+    npoint: int = 1024
+    batch_size: int = 32
+    epochs: int = 250
+    lr: float = 1e-3
+    decay_epochs: int = 20  # lr x0.7 every N epochs (reference :112-116)
+    bn_momentum: float = 0.5  # torch-convention starting momentum (:51)
+    wd: float = 1e-4
+    label_smoothing: float = 0.2
+    is_aug_data: bool = False
+    seed: int = 0
+    axis_swap: bool = True  # the reference's [0, 2, 1] input convention
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def smoothing_cross_entropy(
+    logits: jax.Array, target: jax.Array, classes: int, smoothing: float = 0.2
+) -> jax.Array:
+    """Label-smoothing CE (reference main_train.py:86-105)."""
+    log_probs = jax.nn.log_softmax(logits, axis=1)
+    one_hot = jax.nn.one_hot(target, classes, dtype=logits.dtype)
+    one_hot = one_hot * (1.0 - smoothing) + smoothing / classes
+    return jnp.mean(jnp.sum(-one_hot * log_probs, axis=1))
+
+
+def lr_for_epoch(base_lr: float, epoch: int, decay_epochs: int = 20) -> float:
+    """LR after `epoch` completed epochs (reference :112-116; floor 1e-5)."""
+    return max(1e-5, base_lr * (0.7 ** (epoch // decay_epochs)))
+
+
+def bn_momentum_for_epoch(base: float, epoch: int) -> float:
+    """Torch-convention BN momentum for an epoch (reference PointNet.py:166-169,
+    PointNetPP_ssg.py:126-131; floors differ: 0.01 both here)."""
+    return max(base * (0.5 ** (epoch // 20)), 0.01)
+
+
+def make_optimizer(cfg: TrainConfig, epoch: int = 1):
+    """Torch-style Adam + L2 at the lr of the given (1-based) epoch."""
+    lr = lr_for_epoch(cfg.lr, epoch - 1, cfg.decay_epochs)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.wd),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def _build(cfg: TrainConfig, epoch: int):
+    flax_momentum = 1.0 - bn_momentum_for_epoch(cfg.bn_momentum, epoch)
+    model = build_model(cfg.arch, cfg.classes, cfg.npoint)
+    model = dataclasses.replace(model, bn_momentum=flax_momentum)
+    return model
+
+
+def init_state(cfg: TrainConfig, key: jax.Array) -> TrainState:
+    model = _build(cfg, epoch=1)
+    variables = model.init(
+        {"params": key}, jnp.zeros((1, cfg.npoint, 3), jnp.float32), train=False
+    )
+    tx = make_optimizer(cfg, epoch=1)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    cfg: TrainConfig, epoch: int = 1
+) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array], Tuple[TrainState, dict]]:
+    """Build the jitted train step for one epoch's lr / BN momentum."""
+    model = _build(cfg, epoch)
+    tx = make_optimizer(cfg, epoch)
+    is_pointnet = cfg.arch == "PointNet"
+
+    def loss_fn(params, batch_stats, pc, target, dropout_rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pc,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        if is_pointnet:
+            logits, transform = out
+        else:
+            logits, transform = out, None
+        loss = smoothing_cross_entropy(
+            logits, target, cfg.classes, cfg.label_smoothing
+        )
+        if transform is not None:
+            K = transform.shape[1]
+            eye = jnp.eye(K, dtype=transform.dtype)[None]
+            mat_diff = (
+                jnp.einsum("bij,bkj->bik", transform, transform) - eye
+            )
+            loss = loss + 0.001 * jnp.sum(mat_diff**2) / 2  # reference :219-223
+        return loss, (logits, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, pc, target, rng):
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, pc, target, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(
+            (jnp.argmax(logits, -1) == target).astype(jnp.float32)
+        ) * 100.0
+        new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainConfig):
+    model = _build(cfg, epoch=1)
+
+    @jax.jit
+    def eval_step(state: TrainState, pc, target):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pc,
+            train=False,
+        )
+        loss = smoothing_cross_entropy(
+            logits, target, cfg.classes, cfg.label_smoothing
+        )
+        pred = jnp.argmax(logits, -1)
+        return loss, pred
+
+    return eval_step
+
+
+def _prep_batch(cfg: TrainConfig, points: np.ndarray) -> np.ndarray:
+    """Channel-last + the reference's y/z axis swap (main_train.py:211)."""
+    pc = np.asarray(points[..., 0:3], np.float32)
+    if cfg.axis_swap:
+        pc = pc[..., [0, 2, 1]]
+    return pc
+
+
+def evaluate(
+    cfg: TrainConfig, state: TrainState, dataset, eval_step=None
+) -> Tuple[float, float]:
+    """Instance + class-average accuracy over a dataset (reference :257-307)."""
+    if eval_step is None:
+        eval_step = make_eval_step(cfg)
+    total_seen = np.zeros(cfg.classes)
+    total_correct = np.zeros(cfg.classes)
+    n_correct, n_total = 0, 0
+    dataset.reset()
+    while dataset.has_next_batch():
+        points, target = dataset.next_batch(False)
+        pc = _prep_batch(cfg, points)
+        _, pred = eval_step(state, jnp.asarray(pc), jnp.asarray(target))
+        pred = np.asarray(pred)
+        for t, p in zip(np.asarray(target), pred):
+            total_seen[t] += 1
+            total_correct[t] += int(p == t)
+        n_correct += int((pred == np.asarray(target)).sum())
+        n_total += len(pred)
+    seen = total_seen > 0
+    class_acc = float(
+        np.mean(total_correct[seen] / total_seen[seen]) * 100.0
+    )
+    inst_acc = float(n_correct / max(n_total, 1) * 100.0)
+    return class_acc, inst_acc
+
+
+def train(
+    cfg: TrainConfig,
+    train_dataset,
+    test_dataset,
+    modeldir: Optional[str] = None,
+    log: Callable[[str], None] = print,
+) -> Tuple[TrainState, dict]:
+    """Full training run (reference main_train.py:135-347)."""
+    if modeldir:
+        os.makedirs(modeldir, exist_ok=True)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    state = init_state(cfg, init_key)
+    eval_step = make_eval_step(cfg)
+
+    best_prec, class_prec = 0.0, 0.0
+    cached_step, cached_epoch_cfg = None, None
+
+    for epoch in range(1, cfg.epochs + 1):
+        # train steps are re-jitted only when lr / BN momentum actually change
+        epoch_cfg = (
+            lr_for_epoch(cfg.lr, epoch - 1, cfg.decay_epochs),
+            bn_momentum_for_epoch(cfg.bn_momentum, epoch),
+        )
+        if epoch_cfg != cached_epoch_cfg:
+            cached_step = make_train_step(cfg, epoch)
+            cached_epoch_cfg = epoch_cfg
+        train_step = cached_step
+
+        losses, accs = AverageMeter(), AverageMeter()
+        t0 = time.time()
+        train_dataset.reset()
+        while train_dataset.has_next_batch():
+            points, target = train_dataset.next_batch(cfg.is_aug_data)
+            pc = _prep_batch(cfg, points)
+            key, sk = jax.random.split(key)
+            state, metrics = train_step(
+                state, jnp.asarray(pc), jnp.asarray(target), sk
+            )
+            losses.update(float(metrics["loss"]), len(target))
+            accs.update(float(metrics["acc"]), len(target))
+
+        class_acc, inst_acc = evaluate(cfg, state, test_dataset, eval_step)
+
+        is_best = inst_acc > best_prec or (
+            inst_acc == best_prec and class_prec < class_acc
+        )
+        if is_best:
+            best_prec, class_prec = inst_acc, class_acc
+
+        log(
+            f"===> epoch [{epoch:3d}] ({format_time(time.time() - t0)}): "
+            f"train-acc {accs.avg:.3f} loss {losses.avg:.4f} | "
+            f"test C-acc {class_acc:.3f} I-acc {inst_acc:.3f} | "
+            f"best C-acc {class_prec:.3f} I-acc {best_prec:.3f}"
+        )
+        if modeldir:
+            from geoa3_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                modeldir,
+                {
+                    "epoch": epoch,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "best_prec": best_prec,
+                    "class_prec": class_prec,
+                },
+                is_best=is_best,
+            )
+            with open(os.path.join(modeldir, "result.txt"), "at") as f:
+                f.write(
+                    f"epoch[{epoch:3d}] train-acc: {accs.avg:.3f}"
+                    f"\t\ttest: C-acc {class_acc:.3f}  I-acc {inst_acc:.3f}"
+                )
+                f.write(
+                    f"\t\tbest: C-acc {class_prec:.3f}  I-acc {best_prec:.3f}\n"
+                    if is_best
+                    else "\n"
+                )
+
+    return state, {"best_prec": best_prec, "class_prec": class_prec}

@@ -1,0 +1,245 @@
+"""Tests for data providers, synthetic shapes, augmentations and IO."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from geoa3_tpu import data
+from geoa3_tpu.data import augment, io
+from geoa3_tpu.data.modelnet_train import SyntheticTrainDataset
+
+
+@pytest.fixture(scope="module")
+def mat_file(tmp_path_factory):
+    d = data.make_synthetic_attack_set(num_per_class=3, npoint=64, classes=10)
+    path = tmp_path_factory.mktemp("data") / "synthetic64.mat"
+    sio.savemat(str(path), d)
+    return str(path)
+
+
+class TestSynthetic:
+    def test_attack_set_structure(self):
+        d = data.make_synthetic_attack_set(num_per_class=2, npoint=32, classes=4)
+        assert d["data"].shape == (8, 3, 32)
+        assert d["normal"].shape == (8, 3, 32)
+        assert d["label"].shape == (8, 1)
+
+    def test_shapes_normalised_and_normals_unit(self, rng):
+        for c in range(10):
+            p, m = data.sample_shape(c, 128, rng)
+            assert np.linalg.norm(p, axis=1).max() <= 1.0 + 1e-5
+            np.testing.assert_allclose(
+                np.linalg.norm(m, axis=1), 1.0, atol=1e-4
+            )
+
+
+class TestAttackSetDataset:
+    def test_all_mode_gives_9_targets(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="All")
+        item = ds[0]
+        assert item.pc.shape == (9, 64, 3)
+        assert item.target_label.shape == (9,)
+        # targets drawn from the 10 attacked classes, excluding gt
+        assert all(t in data.TEN_LABEL_INDEXES for t in item.target_label)
+        assert all(t != item.gt_label[0] for t in item.target_label)
+        assert ds.num_attack_classes == 9
+
+    def test_untarget_mode(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="Untarget")
+        item = ds[3]
+        assert item.pc.shape == (1, 64, 3)
+        assert item.target_label is None
+        assert ds.num_attack_classes == 1
+
+    def test_random_mode(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="Random")
+        item = ds[3]
+        assert item.target_label.shape == (1,)
+        assert item.target_label[0] != item.gt_label[0]
+
+    def test_class_slice_mode(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="bed")
+        # slice [25:50) of a 30-item set clips to 5 items
+        assert ds.start_index == 25
+
+    def test_resample(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="All", resample_num=32)
+        assert ds.data.shape[1] == 32
+        # resampled clouds re-normalised to unit sphere
+        assert np.linalg.norm(ds.data[0], axis=1).max() <= 1.0 + 1e-4
+
+    def test_batched_flattens(self, mat_file):
+        ds = data.AttackSetDataset(mat_file, attack_label="All")
+        pc, normal, gt, target = next(iter(data.batched(ds, batch_size=2)))
+        assert pc.shape == (18, 64, 3)
+        assert gt.shape == (18,) and target.shape == (18,)
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            data.AttackSetDataset("/nonexistent.mat")
+
+
+class TestDefenseDataset:
+    def test_roundtrip(self, tmp_path, rng):
+        pc = rng.randn(64, 3).astype(np.float32)
+        io.save_adversarial_mat(
+            str(tmp_path / "adv_0_gt1_attack2_expect2.mat"), pc, 1, 2
+        )
+        ds = data.DefenseMatDataset(str(tmp_path))
+        got_pc, gt, atk = ds[0]
+        np.testing.assert_allclose(got_pc, pc, atol=1e-6)
+        assert (gt, atk) == (1, 2)
+
+
+class TestAugment:
+    def test_rotations_preserve_norms(self, rng):
+        pc = rng.randn(4, 32, 3).astype(np.float32)
+        for fn in (
+            augment.rotate_point_cloud,
+            augment.rotate_point_cloud_z,
+            augment.rotate_perturbation_point_cloud,
+        ):
+            out = fn(pc, rng=np.random.RandomState(0))
+            np.testing.assert_allclose(
+                np.linalg.norm(out, axis=-1),
+                np.linalg.norm(pc, axis=-1),
+                atol=1e-4,
+            )
+
+    def test_rotation_with_normal_keeps_alignment(self, rng):
+        pc = rng.randn(2, 16, 3).astype(np.float32)
+        nrm = rng.randn(2, 16, 3).astype(np.float32)
+        batch = np.concatenate([pc, nrm], -1)
+        out = augment.rotate_point_cloud_with_normal(
+            batch, rng=np.random.RandomState(0)
+        )
+        # dot products between point and its normal are rotation-invariant
+        np.testing.assert_allclose(
+            (out[..., :3] * out[..., 3:]).sum(-1),
+            (pc * nrm).sum(-1),
+            atol=1e-4,
+        )
+
+    def test_jitter_clip(self, rng):
+        pc = np.zeros((2, 100, 3), np.float32)
+        out = augment.jitter_point_cloud(
+            pc, sigma=1.0, clip=0.05, rng=np.random.RandomState(0)
+        )
+        assert np.abs(out).max() <= 0.05
+
+    def test_scale_shift_dropout(self, rng):
+        pc = rng.randn(2, 64, 3).astype(np.float32)
+        s = augment.random_scale_point_cloud(pc, rng=np.random.RandomState(0))
+        assert s.shape == pc.shape
+        sh = augment.shift_point_cloud(pc, rng=np.random.RandomState(0))
+        assert np.abs(sh - pc).max() <= 0.1 + 1e-6
+        dp = augment.random_point_dropout(pc, rng=np.random.RandomState(0))
+        assert dp.shape == pc.shape
+
+    def test_normalize_data(self, rng):
+        pc = 5 * rng.randn(3, 32, 3).astype(np.float32) + 2
+        out = augment.normalize_data(pc)
+        assert np.abs(out.mean(1)).max() < 1e-5
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1).max(1), 1.0, atol=1e-5
+        )
+
+
+class TestIO:
+    def test_obj_roundtrip(self, tmp_path):
+        verts = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        faces = [[0, 1, 2]]
+        path = str(tmp_path / "mesh.obj")
+        io.write_obj(path, verts, faces)
+        v, f = io.read_obj(path)
+        np.testing.assert_allclose(v, verts)
+        assert f == faces
+
+    def test_off_roundtrip(self, tmp_path):
+        verts = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        faces = [[0, 1, 2]]
+        path = str(tmp_path / "mesh.off")
+        io.write_off(path, verts, faces)
+        v, f = io.read_off(path)
+        np.testing.assert_allclose(v, verts)
+        assert f == [[3, 0, 1, 2]]
+
+    def test_off_buggy_header(self, tmp_path):
+        # ModelNet bug: "OFF" glued to the counts line
+        path = str(tmp_path / "bug.off")
+        with open(path, "w") as f:
+            f.write("OFF3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+        v, fc = io.read_off(path)
+        assert len(v) == 3 and len(fc) == 1
+
+    def test_xyz_roundtrip(self, tmp_path, rng):
+        pc = rng.randn(16, 3).astype(np.float32)
+        path = str(tmp_path / "points.xyz")
+        io.save_xyz(path, pc)
+        got = io.read_xyz(path)
+        np.testing.assert_allclose(got, pc, atol=1e-5)
+
+    def test_point_obj_format(self, tmp_path):
+        path = str(tmp_path / "pc.obj")
+        io.save_point_obj(path, np.asarray([[1.0, 2.0, 3.0]]))
+        line = open(path).read().strip()
+        assert line == "v 1.000000 2.000000 3.000000 0 0 0"
+
+    def test_pc_normalize(self, rng):
+        pc = 3 * rng.randn(50, 3).astype(np.float32) + 1
+        out = io.pc_normalize(pc)
+        assert np.abs(out.mean(0)).max() < 1e-6
+        assert abs(np.linalg.norm(out, axis=1).max() - 1.0) < 1e-6
+
+
+class TestTrainDataset:
+    def test_synthetic_batch_protocol(self):
+        ds = SyntheticTrainDataset(
+            num_per_class=4, classes=3, batch_size=5, npoints=32
+        )
+        assert len(ds) == 12
+        seen = 0
+        while ds.has_next_batch():
+            pts, lbl = ds.next_batch(False)
+            assert pts.shape[1:] == (32, 3)
+            seen += len(lbl)
+        assert seen == 12
+        ds.reset()
+        assert ds.has_next_batch()
+
+    def test_augmented_batch(self):
+        ds = SyntheticTrainDataset(
+            num_per_class=2, classes=2, batch_size=4, npoints=32
+        )
+        pts, _ = ds.next_batch(True)
+        assert pts.shape == (4, 32, 3)
+        assert np.isfinite(pts).all()
+
+    def test_modelnet_txt_loader(self, tmp_path, rng):
+        # build a miniature ModelNet40_normal_resampled layout
+        root = tmp_path / "mn"
+        (root / "airplane").mkdir(parents=True)
+        (root / "bed").mkdir()
+        names = ["airplane", "bed"]
+        (root / "modelnet40_shape_names.txt").write_text("\n".join(names) + "\n")
+        ids = []
+        for name in names:
+            for i in range(2):
+                sid = f"{name}_{i:04d}"
+                ids.append(sid)
+                pts = rng.randn(40, 6)
+                np.savetxt(str(root / name / f"{sid}.txt"), pts, delimiter=",")
+        (root / "modelnet40_train.txt").write_text("\n".join(ids) + "\n")
+        (root / "modelnet40_test.txt").write_text("\n".join(ids) + "\n")
+
+        from geoa3_tpu.data.modelnet_train import ModelNetTrainDataset
+
+        ds = ModelNetTrainDataset(str(root), batch_size=3, npoints=32, split="train")
+        assert len(ds) == 4
+        pts, lbl = ds.next_batch(False)
+        assert pts.shape == (3, 32, 3)
+        assert set(np.unique(lbl)) <= {0, 1}
+        # normalised
+        assert np.linalg.norm(pts, axis=-1).max() <= 1.0 + 1e-5
