@@ -25,13 +25,21 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def restore_into(target, state_dict):
+    """Restore a loaded checkpoint dict into a typed pytree (e.g. optax state)."""
+    return serialization.from_state_dict(target, state_dict)
+
+
 def save_checkpoint(
     modeldir: str, state: Dict[str, Any], is_best: bool, filename: str = CKPT_NAME
 ) -> str:
     """Save epoch state; copy to model_best on improvement (reference :107-110)."""
     os.makedirs(modeldir, exist_ok=True)
     path = os.path.join(modeldir, filename)
-    payload = serialization.msgpack_serialize(_to_host(state))
+    # to_state_dict turns tuples/namedtuples (optax states) into msgpack-able dicts
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(state))
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
