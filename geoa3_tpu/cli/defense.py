@@ -1,0 +1,195 @@
+"""Defense evaluation CLI (TPU-native rebuild of reference defense.py:52-191).
+
+Loads a Mat directory of adversarial outputs, applies a point-removal defense,
+re-classifies, and reports attack-success-after-defense / still-success /
+average dropped — appended to defense_result.txt with the reference's line
+formats. All clouds in a run share one compiled classify program (fixed-count
+defenses) or one pad+mask program (variance defense).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoa3_tpu import defense as gdef
+from geoa3_tpu.data.modelnet import DefenseMatDataset
+from geoa3_tpu.data import io as gio
+from geoa3_tpu.models.registry import build_model
+from geoa3_tpu.ops import farthest_points_sample
+from geoa3_tpu.utils.checkpoint import load_victim_variables
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Point Cloud Defense")
+    # ------------Dataset-----------------------
+    parser.add_argument(
+        "--datadir", default="Data/modelnet40_1024_processed", type=str,
+        metavar="DIR",
+    )
+    parser.add_argument("--npoint", default=1024, type=int)
+    parser.add_argument("-c", "--classes", default=40, type=int, metavar="N")
+    # ------------Model-----------------------
+    parser.add_argument("--arch", default="PointNet", type=str, metavar="ARCH")
+    parser.add_argument(
+        "--defense_type",
+        default="outliers_fixNum",
+        type=str,
+        help="[rand_drop, outliers_variance, outliers_fixNum]",
+    )
+    # ------------Defense-----------------------
+    parser.add_argument("--outlier_knn", type=int, default=2)
+    parser.add_argument("--alpha", type=float, default=1.1)
+    parser.add_argument("--drop_num", type=int, default=128)
+    parser.add_argument("--is_record_all", action="store_true", default=False)
+    parser.add_argument("--is_record_wrong", action="store_true", default=False)
+    # ------------OS-----------------------
+    parser.add_argument("-j", "--num_workers", default=8, type=int, metavar="N")
+    parser.add_argument("--random_seed", default=0, type=int)
+    parser.add_argument("--print_freq", default=50, type=int)
+    parser.add_argument(
+        "--checkpoint", default=None, type=str,
+        help="victim checkpoint (.pth.tar or msgpack dir)",
+    )
+    return parser
+
+
+def main(cfg) -> dict:
+    assert cfg.datadir[-1] != "/"
+    seed = cfg.random_seed if cfg.random_seed == 0 else int(time.time())
+    key = jax.random.PRNGKey(seed)
+
+    dataset = DefenseMatDataset(
+        cfg.datadir if cfg.datadir.endswith("Mat") else os.path.join(cfg.datadir)
+    )
+
+    model = build_model(cfg.arch, cfg.classes, cfg.npoint)
+    ckpt = cfg.checkpoint or os.path.join("Pretrained", cfg.arch, str(cfg.npoint))
+    variables = load_victim_variables(ckpt, arch=cfg.arch)
+    print(f"\nSuccessfully load pretrained-model from {ckpt}\n")
+
+    @jax.jit
+    def classify(pc, mask=None):
+        if cfg.arch == "PointNet":
+            return model.apply(variables, pc, train=False, point_mask=mask)
+        return model.apply(variables, pc, train=False)
+
+    defensed_dir = os.path.join(os.path.split(cfg.datadir)[0], "Defensed")
+    if cfg.is_record_all or cfg.is_record_wrong:
+        os.makedirs(defensed_dir, exist_ok=True)
+
+    cnt = 0
+    num_defense_success = 0
+    num_attack_still_success = 0
+    num_drop_point = 0
+
+    for i in range(len(dataset)):
+        adv_pc, gt_label, attack_label = dataset[i]
+        cnt += 1
+        pc = jnp.asarray(adv_pc[None])  # [1, n, 3]
+
+        key, fps_key, drop_key = jax.random.split(key, 3)
+        if pc.shape[1] > cfg.npoint:
+            pc = farthest_points_sample(pc, cfg.npoint, fps_key)
+
+        res = gdef.point_removal(
+            pc, cfg.defense_type, cfg.drop_num, cfg.alpha, cfg.outlier_knn,
+            key=drop_key,
+        )
+        logits = classify(res.pc, res.keep_mask)
+        pred = int(jnp.argmax(logits, -1)[0])
+        num = int(res.num_dropped[0])
+
+        if gt_label == attack_label:
+            defense_success, attack_still_success = 1, 0
+        else:
+            defense_success = int(pred == gt_label)
+            attack_still_success = int(pred == attack_label)
+        num_defense_success += defense_success
+        num_attack_still_success += attack_still_success
+        num_drop_point += num
+
+        if cfg.is_record_all or (cfg.is_record_wrong and pred != gt_label):
+            saved_pc = np.asarray(res.pc[0])
+            if res.keep_mask is not None:
+                saved_pc = saved_pc[np.asarray(res.keep_mask[0])]
+            gio.save_point_obj(
+                os.path.join(
+                    defensed_dir,
+                    f"Gt{gt_label}_record_{i}_attack{attack_label}"
+                    f"_defensedGT{pred}.obj",
+                ),
+                saved_pc,
+            )
+
+        if (i + 1) % cfg.print_freq == 0:
+            print(
+                "[{0}/{1}]  attack success: {2:.2f} still attack success: "
+                "{3:.2f} avg drop num: {4:.2f}".format(
+                    i + 1,
+                    len(dataset),
+                    (1 - num_defense_success / float(cnt)) * 100,
+                    num_attack_still_success / float(cnt) * 100,
+                    num_drop_point / float(cnt),
+                )
+            )
+
+    n = float(len(dataset))
+    final_acc = num_defense_success / n * 100
+    final_attack_acc = num_attack_still_success / n * 100
+    avg_drop_point = num_drop_point / n
+    # reference sanity invariant (defense.py:135); epsilon added because the
+    # two sides can be equal and differ by one float ULP
+    assert 100 - final_acc >= final_attack_acc - 1e-9, (
+        "Attack success must > or >= attack still success!"
+    )
+    print(
+        "\nfinal attack success: {0:.2f}\n still attack success: {1:.2f}\n "
+        "avg drop point: {2:.2f}".format(
+            100 - final_acc, final_attack_acc, avg_drop_point
+        )
+    )
+
+    result_path = os.path.join(os.path.split(cfg.datadir)[0], "defense_result.txt")
+    with open(result_path, "at") as f:
+        if cfg.defense_type == "rand_drop":
+            f.write(
+                "[{0:.2f}%, {1:.2f}%, {2:.2f}n] random drop: drop_num {3}\n".format(
+                    final_acc, final_attack_acc, avg_drop_point, cfg.drop_num
+                )
+            )
+        elif cfg.defense_type == "outliers_variance":
+            f.write(
+                "[{0:.2f}%, {1:.2f}%, {2:.2f}n] outlier alpha removal: "
+                "k{3}, alpha{4}\n".format(
+                    final_acc, final_attack_acc, avg_drop_point,
+                    cfg.outlier_knn, cfg.alpha,
+                )
+            )
+        elif cfg.defense_type == "outliers_fixNum":
+            f.write(
+                "[{0:.2f}%, {1:.2f}%, {2:.2f}n] outlier ramdom drop: "
+                "drop_num {3}\n".format(
+                    final_acc, final_attack_acc, avg_drop_point, cfg.drop_num
+                )
+            )
+        else:
+            raise AssertionError
+
+    print("\n Finished!")
+    return {
+        "final_acc": final_acc,
+        "final_attack_acc": final_attack_acc,
+        "avg_drop_point": avg_drop_point,
+    }
+
+
+if __name__ == "__main__":
+    cfg = build_parser().parse_args()
+    print(cfg)
+    main(cfg)

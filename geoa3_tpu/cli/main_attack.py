@@ -1,0 +1,377 @@
+"""GeoA3 attack CLI (TPU-native rebuild of reference main_attack.py).
+
+Public flag surface matches reference main_attack.py:317-385; the output
+directory naming, per-instance .mat/.obj files and attack_result.txt follow
+the reference contracts so downstream tooling (defense CLI) works unchanged.
+
+Differences by design:
+  * the victim checkpoint may be a torch `.pth.tar` (auto-converted) or a
+    native msgpack checkpoint;
+  * `--data_dir_file synthetic[:N[:npoint]]` generates the self-contained
+    synthetic attack set when no ModelNet .mat is available;
+  * batches are padded to a fixed size so ONE compiled attack program serves
+    the whole run; `--mesh_data_parallel` shards the batch over the TPU mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io as sio
+
+from geoa3_tpu import data as gdata
+from geoa3_tpu import parallel
+from geoa3_tpu.attack import AttackConfig, estimate_normal_via_ori_normal
+from geoa3_tpu.attack.engine import make_attack_fn
+from geoa3_tpu.data import io as gio
+from geoa3_tpu.models.registry import build_model, make_eval_fn
+from geoa3_tpu.ops import farthest_points_sample
+from geoa3_tpu.utils.checkpoint import load_victim_variables
+from geoa3_tpu.utils.meters import AverageMeter, format_time
+from geoa3_tpu.utils.naming import attack_exp_dirname, make_output_dirs
+from geoa3_tpu.utils.records import ConvergeIterRecorder, LossIterRecorder
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Point Cloud Attacking")
+    # ------------Model-----------------------
+    parser.add_argument("--id", type=int, default=0)
+    parser.add_argument("--arch", default="PointNet", type=str, metavar="ARCH")
+    # ------------Dataset-----------------------
+    parser.add_argument(
+        "--data_dir_file",
+        default="Data/modelnet10_250instances1024_PointNet.mat",
+        type=str,
+    )
+    parser.add_argument("--dense_data_dir_file", default=None, type=str)
+    parser.add_argument("-c", "--classes", default=40, type=int, metavar="N")
+    parser.add_argument("-b", "--batch_size", default=2, type=int, metavar="B")
+    parser.add_argument("--npoint", default=1024, type=int)
+    # ------------Attack-----------------------
+    parser.add_argument("--attack", default=None, type=str, help="GeoA3")
+    parser.add_argument("--attack_label", default="All", type=str)
+    parser.add_argument("--binary_max_steps", type=int, default=10)
+    parser.add_argument("--initial_const", type=float, default=10)
+    parser.add_argument("--iter_max_steps", default=500, type=int, metavar="M")
+    parser.add_argument("--optim", default="adam", type=str)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--eval_num", type=int, default=1)
+    ## cls loss
+    parser.add_argument("--cls_loss_type", default="CE", type=str)
+    parser.add_argument("--confidence", type=float, default=0)
+    ## distance loss
+    parser.add_argument("--dis_loss_type", default="CD", type=str)
+    parser.add_argument("--dis_loss_weight", type=float, default=1.0)
+    parser.add_argument("--is_cd_single_side", action="store_true", default=False)
+    ## hausdorff loss
+    parser.add_argument("--hd_loss_weight", type=float, default=0.1)
+    ## normal loss
+    parser.add_argument("--curv_loss_weight", type=float, default=1.0)
+    parser.add_argument("--curv_loss_knn", type=int, default=16)
+    ## uniform loss
+    parser.add_argument("--uniform_loss_weight", type=float, default=0.0)
+    ## KNN smoothing loss (flag parity; unused in the GeoA3 path, as in ref)
+    parser.add_argument("--knn_smoothing_loss_weight", type=float, default=5.0)
+    parser.add_argument("--knn_smoothing_k", type=int, default=5)
+    parser.add_argument("--knn_threshold_coef", type=float, default=1.10)
+    ## Mesh losses (parity; GeoA3_mesh is not uploaded in the reference either)
+    parser.add_argument("--laplacian_loss_weight", type=float, default=0)
+    parser.add_argument("--edge_loss_weight", type=float, default=0)
+    ## opt variants
+    parser.add_argument("--is_partial_var", action="store_true", default=False)
+    parser.add_argument("--knn_range", type=int, default=3)
+    parser.add_argument("--is_subsample_opt", action="store_true", default=False)
+    parser.add_argument("--is_use_lr_scheduler", action="store_true", default=False)
+    ## perturbation clip
+    parser.add_argument("--cc_linf", type=float, default=0.0)
+    ## Proj offset
+    parser.add_argument("--is_real_offset", action="store_true", default=False)
+    parser.add_argument("--is_pro_grad", action="store_true", default=False)
+    ## Jitter
+    parser.add_argument("--is_pre_jitter_input", action="store_true", default=False)
+    parser.add_argument(
+        "--is_previous_jitter_input", action="store_true", default=False
+    )
+    parser.add_argument(
+        "--calculate_project_jitter_noise_iter", default=50, type=int
+    )
+    parser.add_argument("--jitter_k", type=int, default=16)
+    parser.add_argument("--jitter_sigma", type=float, default=0.01)
+    parser.add_argument("--jitter_clip", type=float, default=0.05)
+    ## PGD-like attack (flag parity)
+    parser.add_argument("--step_alpha", type=float, default=5)
+    # ------------Recording-----------------------
+    parser.add_argument(
+        "--is_record_converged_steps", action="store_true", default=False
+    )
+    parser.add_argument("--is_record_loss", action="store_true", default=False)
+    # ------------OS-----------------------
+    parser.add_argument("-j", "--num_workers", default=8, type=int, metavar="N")
+    parser.add_argument("--is_save_normal", action="store_true", default=False)
+    parser.add_argument("--is_debug", action="store_true", default=False)
+    parser.add_argument("--is_low_memory", action="store_true", default=False)
+    # ------------TPU-native extensions-------------
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        type=str,
+        help="victim checkpoint (.pth.tar or msgpack dir); defaults to "
+        "Pretrained/{arch}/{npoint}/",
+    )
+    parser.add_argument(
+        "--mesh_data_parallel",
+        action="store_true",
+        default=False,
+        help="shard the attack batch over all local devices",
+    )
+    parser.add_argument("--exps_root", default="Exps", type=str)
+    return parser
+
+
+def _attack_config(args, targeted_npoint=None) -> AttackConfig:
+    return AttackConfig(
+        arch=args.arch,
+        classes=args.classes,
+        npoint=args.npoint if targeted_npoint is None else targeted_npoint,
+        attack_label=args.attack_label,
+        initial_const=args.initial_const,
+        lr=args.lr,
+        optim=args.optim,
+        binary_max_steps=args.binary_max_steps,
+        iter_max_steps=args.iter_max_steps,
+        eval_num=args.eval_num,
+        cls_loss_type=args.cls_loss_type,
+        confidence=args.confidence,
+        dis_loss_type=args.dis_loss_type,
+        dis_loss_weight=args.dis_loss_weight,
+        is_cd_single_side=args.is_cd_single_side,
+        hd_loss_weight=args.hd_loss_weight,
+        curv_loss_weight=args.curv_loss_weight,
+        curv_loss_knn=args.curv_loss_knn,
+        uniform_loss_weight=args.uniform_loss_weight,
+        is_use_lr_scheduler=args.is_use_lr_scheduler,
+        is_partial_var=args.is_partial_var,
+        knn_range=args.knn_range,
+        is_subsample_opt=args.is_subsample_opt,
+        is_pro_grad=args.is_pro_grad,
+        is_real_offset=args.is_real_offset,
+        cc_linf=args.cc_linf,
+        is_pre_jitter_input=args.is_pre_jitter_input,
+        calculate_project_jitter_noise_iter=args.calculate_project_jitter_noise_iter,
+        jitter_k=args.jitter_k,
+        jitter_sigma=args.jitter_sigma,
+        jitter_clip=args.jitter_clip,
+    )
+
+
+def load_dataset(args):
+    """Load the attack set; 'synthetic[:per_class[:npoint]]' generates one."""
+    spec = args.data_dir_file
+    if spec.startswith("synthetic"):
+        parts = spec.split(":")
+        per_class = int(parts[1]) if len(parts) > 1 else 25
+        npoint = int(parts[2]) if len(parts) > 2 else args.npoint
+        import tempfile
+
+        d = gdata.make_synthetic_attack_set(
+            num_per_class=per_class, npoint=npoint
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"geoa3_synth_{per_class}x{npoint}.mat"
+        )
+        sio.savemat(path, d)
+        spec = path
+    resample_num = -1  # reference main_attack.py:112-118 (FIXME'd to -1)
+    return gdata.AttackSetDataset(
+        spec, attack_label=args.attack_label, resample_num=resample_num
+    )
+
+
+def load_victim(args):
+    model = build_model(args.arch, args.classes, args.npoint)
+    ckpt = args.checkpoint or os.path.join(
+        "Pretrained", args.arch, str(args.npoint)
+    )
+    variables = load_victim_variables(ckpt, arch=args.arch)
+    print(f"==>Successfully load pretrained-model from {ckpt}")
+    return model, variables
+
+
+def main(args) -> str:
+    assert args.attack in (None, "GeoA3"), "Wrong type of attack."
+    targeted = args.attack_label != "Untarget"
+
+    print("=>Creating dir")
+    saved_dir = attack_exp_dirname(
+        _attack_config(args), attack=args.attack, run_id=args.id,
+        exps_root=args.exps_root,
+    )
+    make_output_dirs(saved_dir)
+    print(f"==>Successfully created {saved_dir}")
+
+    seed = 0 if args.id == 0 else int(time.time())
+    key = jax.random.PRNGKey(seed)
+
+    dataset = load_dataset(args)
+    model, variables = load_victim(args)
+    logits_fn = jax.jit(make_eval_fn(model, variables))
+
+    dense_dataset = None
+    if args.is_save_normal and args.dense_data_dir_file:
+        dense_dataset = gdata.AttackSetDataset(
+            args.dense_data_dir_file, attack_label=args.attack_label
+        )
+
+    cci = (
+        ConvergeIterRecorder(os.path.join(saved_dir, "Records"))
+        if args.is_record_converged_steps
+        else None
+    )
+    cli_rec = (
+        LossIterRecorder(os.path.join(saved_dir, "Records"))
+        if args.is_record_loss
+        else None
+    )
+
+    num_attack_classes = dataset.num_attack_classes
+    cfg = _attack_config(args)
+
+    if args.attack is None:
+        # plain evaluation (reference main_attack.py:212-224)
+        test_acc = AverageMeter()
+        for pc, normal, gt, target in gdata.batched(dataset, args.batch_size):
+            logits = np.asarray(logits_fn(jnp.asarray(pc)))
+            acc = float((logits.argmax(-1) == gt).mean() * 100.0)
+            test_acc.update(acc, len(gt))
+            print(f"Prec@1 {test_acc.avg:.3f}")
+        print("Finish!")
+        return saved_dir
+
+    # one compiled attack program for the fixed padded batch size
+    full_b = args.batch_size * num_attack_classes
+    attack_fn = (
+        parallel.make_sharded_attack_fn(
+            logits_fn, cfg, parallel.make_mesh()
+        )
+        if args.mesh_data_parallel
+        else jax.jit(make_attack_fn(logits_fn, cfg))
+    )
+
+    num_attack_success = 0
+    cnt_ins = dataset.start_index
+    cnt_all = 0
+    t_start = time.time()
+
+    batches = list(gdata.batched(dataset, args.batch_size))
+    for i, (pc, normal, gt, target) in enumerate(batches):
+        b = pc.shape[0]
+        if target is None:
+            target = gt.copy()
+        # pad short batches so the compiled program is reused
+        if b < full_b:
+            pad = full_b - b
+            pc = np.concatenate([pc, pc[:1].repeat(pad, 0)], 0)
+            normal = np.concatenate([normal, normal[:1].repeat(pad, 0)], 0)
+            gt = np.concatenate([gt, gt[:1].repeat(pad, 0)], 0)
+            target = np.concatenate([target, target[:1].repeat(pad, 0)], 0)
+
+        key, atk_key, fps_key = jax.random.split(key, 3)
+        res = attack_fn(
+            jnp.asarray(pc),
+            jnp.asarray(normal),
+            jnp.asarray(gt),
+            jnp.asarray(target),
+            atk_key,
+        )
+        adv_pc = np.asarray(res.best_attack)[:b]
+        succ_ind = np.asarray(res.success)[:b]
+        best_step = np.asarray(res.best_attack_step)[:b]
+        all_loss = np.asarray(res.all_loss)[:, :b]
+        gt, target = gt[:b], target[:b]
+
+        if cci is not None:
+            cci.record(best_step.tolist())
+        if cli_rec is not None:
+            cli_rec.record(all_loss)
+
+        # re-evaluate the adversarial clouds (reference main_attack.py:249-261)
+        eval_pc = adv_pc
+        if adv_pc.shape[1] > args.npoint:
+            eval_pc = np.asarray(
+                farthest_points_sample(
+                    jnp.asarray(adv_pc), args.npoint, fps_key
+                )
+            )
+        test_adv_logits = np.asarray(logits_fn(jnp.asarray(eval_pc)))
+        adv_pred = test_adv_logits.argmax(-1)
+
+        saved_normal = None
+        if args.is_save_normal and dense_dataset is not None:
+            dense_item_pc, dense_item_nrm = [], []
+            for k in range(b):
+                inst = (cnt_ins - dataset.start_index) + k // num_attack_classes
+                it = dense_dataset[inst]
+                dense_item_pc.append(it.pc[0])
+                dense_item_nrm.append(it.normal[0])
+            saved_normal = np.asarray(
+                estimate_normal_via_ori_normal(
+                    jnp.asarray(adv_pc),
+                    jnp.asarray(np.stack(dense_item_pc)),
+                    jnp.asarray(np.stack(dense_item_nrm)),
+                    k=3,
+                )
+            )
+
+        for k in range(b):
+            if succ_ind[k]:
+                num_attack_success += 1
+                name = gio.adversarial_mat_name(
+                    cnt_ins + k // num_attack_classes,
+                    int(gt[k]),
+                    int(adv_pred[k]),
+                    int(target[k]),
+                )
+                gio.save_adversarial_mat(
+                    os.path.join(saved_dir, "Mat", name + ".mat"),
+                    adv_pc[k],
+                    int(gt[k]),
+                    int(adv_pred[k]),
+                    est_normal=saved_normal[k] if saved_normal is not None else None,
+                )
+                gio.save_point_obj(
+                    os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
+                )
+
+        cnt_ins += b // num_attack_classes
+        cnt_all += b
+        rate = num_attack_success / float(cnt_all) * 100
+        print(
+            f"[{i + 1}/{len(batches)}] success so far: {rate:.2f}% "
+            f"({format_time(time.time() - t_start)})"
+        )
+
+    if cci is not None:
+        cci.save()
+        cci.plot()
+    if cli_rec is not None:
+        cli_rec.save()
+        cli_rec.plot()
+
+    rate = num_attack_success / float(cnt_all) * 100
+    print(f"attack success: {rate:.2f}\n")
+    with open(os.path.join(saved_dir, "attack_result.txt"), "at") as f:
+        f.write(f"attack success: {rate:.2f}\n")
+    print(f"saved_dir: {saved_dir}")
+    print("Finish!")
+    return saved_dir
+
+
+if __name__ == "__main__":
+    cfg = build_parser().parse_args()
+    print(cfg, "\n")
+    main(cfg)

@@ -145,6 +145,7 @@ class SyntheticTrainDataset(_BatchIterMixin):
         normal_channel: bool = False,
         shuffle: Optional[bool] = None,
         seed: int = 0,
+        modelnet_labels: bool = False,
     ):
         self.batch_size = batch_size
         self.npoints = npoints
@@ -152,12 +153,21 @@ class SyntheticTrainDataset(_BatchIterMixin):
         self.num_classes = classes
         self._rng = np.random.RandomState(seed + (0 if split == "train" else 10_000))
         self.shuffle = (split == "train") if shuffle is None else shuffle
+        if modelnet_labels:
+            # carry the ModelNet40 ids of the attacked classes so a 40-way
+            # victim + the attack-set distillation line up with the real setup
+            from geoa3_tpu.data.modelnet import TEN_LABEL_INDEXES
+
+            assert classes <= len(TEN_LABEL_INDEXES)
+            label_map = TEN_LABEL_INDEXES
+        else:
+            label_map = list(range(classes))
         data, labels = [], []
         for c in range(classes):
             for _ in range(num_per_class):
                 p, m = sample_shape(c, npoints, self._rng)
                 data.append(np.concatenate([p, m], -1) if normal_channel else p)
-                labels.append(c)
+                labels.append(label_map[c])
         self.data = np.stack(data)
         self.labels = np.asarray(labels, np.int32)
         self.reset()

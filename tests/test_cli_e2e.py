@@ -1,0 +1,170 @@
+"""End-to-end pipeline test: train a tiny victim on synthetic shapes ->
+distill an attack set -> run the GeoA3 attack CLI -> defense-evaluate the
+outputs -> compute smoothness. Mirrors the reference workflow
+(README.md usage) at miniature scale on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    cwd = os.getcwd()
+    os.chdir(d)
+    yield str(d)
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def trained_victim(workdir):
+    """Train PointNet on 4 synthetic classes for a few epochs."""
+    from geoa3_tpu.cli.main_train import build_parser, main
+
+    args = build_parser().parse_args(
+        [
+            "--datadir", "synthetic:20:4",
+            "--npoint", "64",
+            "--epochs", "4",
+            "-b", "16",
+            "--arch", "PointNet",
+            "-c", "40",  # 40-way head, only 4 classes populated
+        ]
+    )
+    result = main(args)
+    modeldir = os.path.join("Pretrained", "PointNet", "64")
+    assert os.path.isfile(os.path.join(modeldir, "model_best.msgpack"))
+    return modeldir, result
+
+
+def test_full_pipeline(workdir, trained_victim):
+    modeldir, train_result = trained_victim
+
+    # ---- 1. distill attack set with the trained victim ----
+    from geoa3_tpu.cli.gen_data_mat import build_parser as gp, main as gen_main
+
+    gargs = gp().parse_args(
+        [
+            "--datadir", "synthetic",
+            "--npoint", "64",
+            "--max_out_num", "3",
+            "--outdir", "Data",
+            "--checkpoint", modeldir,
+        ]
+    )
+    mat_path = gen_main(gargs)
+    assert os.path.isfile(mat_path)
+    import scipy.io as sio
+
+    d = sio.loadmat(mat_path)
+    n_inst = d["data"].shape[0]
+    assert n_inst > 0
+    # distillation invariant: every kept instance is correctly classified
+    # (reference gen_data_mat.py:250-263) — verified by construction; check
+    # clean accuracy is 100% like the reference smoke test
+    import jax, jax.numpy as jnp
+
+    from geoa3_tpu.models.registry import build_model, make_eval_fn
+    from geoa3_tpu.utils.checkpoint import load_victim_variables
+
+    model = build_model("PointNet", 40, 64)
+    variables = load_victim_variables(modeldir, arch="PointNet")
+    logits_fn = make_eval_fn(model, variables)
+    pcs = jnp.asarray(d["data"].transpose(0, 2, 1))
+    preds = np.argmax(np.asarray(logits_fn(pcs)), -1)
+    labels = d["label"].reshape(-1)
+    assert (preds == labels).all(), "clean accuracy on the attack set must be 100%"
+
+    # ---- 2. attack (tiny budget, untargeted) ----
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+
+    aargs = ap().parse_args(
+        [
+            "--attack", "GeoA3",
+            "--attack_label", "Untarget",
+            "--data_dir_file", mat_path,
+            "--npoint", "64",
+            "--binary_max_steps", "2",
+            "--iter_max_steps", "30",
+            "--curv_loss_knn", "4",
+            "-b", "4",
+            "--checkpoint", modeldir,
+        ]
+    )
+    saved_dir = attack_main(aargs)
+    assert os.path.isfile(os.path.join(saved_dir, "attack_result.txt"))
+    txt = open(os.path.join(saved_dir, "attack_result.txt")).read()
+    assert "attack success:" in txt
+    rate = float(txt.strip().split(":")[1].strip())
+    mats = os.listdir(os.path.join(saved_dir, "Mat"))
+    objs = os.listdir(os.path.join(saved_dir, "PC"))
+    assert len(mats) == len(objs)
+    assert len(mats) >= round(rate / 100 * n_inst) - 1
+    assert rate > 0, "at least some instances must be attacked successfully"
+
+    # dir naming contract
+    assert "GeoA3_0_BiStep2_IterStep30_Optadam" in saved_dir
+
+    # ---- 3. defense on the attack outputs ----
+    if mats:
+        from geoa3_tpu.cli.defense import build_parser as dp, main as defense_main
+
+        dargs = dp().parse_args(
+            [
+                "--datadir", os.path.join(saved_dir, "Mat"),
+                "--npoint", "64",
+                "--defense_type", "outliers_fixNum",
+                "--drop_num", "8",
+                "--checkpoint", modeldir,
+            ]
+        )
+        dres = defense_main(dargs)
+        assert os.path.isfile(os.path.join(saved_dir, "defense_result.txt"))
+        assert 0 <= dres["final_acc"] <= 100
+
+        # variance-type defense too (dynamic shapes path)
+        dargs2 = dp().parse_args(
+            [
+                "--datadir", os.path.join(saved_dir, "Mat"),
+                "--npoint", "64",
+                "--defense_type", "outliers_variance",
+                "--alpha", "1.1",
+                "--checkpoint", modeldir,
+            ]
+        )
+        defense_main(dargs2)
+
+    # ---- 4. smoothness metric over the Mat dir ----
+    if mats:
+        from geoa3_tpu.cli.smoothness import build_parser as sp, main as smooth_main
+
+        sargs = sp().parse_args(
+            ["--datadir", saved_dir, "--k", "8", "--k2", "8"]
+        )
+        avg = smooth_main(sargs)
+        assert np.isfinite(avg)
+        assert os.path.isfile(os.path.join(saved_dir, "metric", "k8.mat"))
+
+
+def test_eval_mode_no_attack(workdir, trained_victim):
+    """--attack None evaluates clean accuracy (reference main_attack.py:212-224)."""
+    modeldir, _ = trained_victim
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+
+    mat = [f for f in os.listdir("Data") if f.endswith(".mat")][0]
+    aargs = ap().parse_args(
+        [
+            "--data_dir_file", os.path.join("Data", mat),
+            "--attack_label", "Untarget",
+            "--npoint", "64",
+            "-b", "4",
+            "--checkpoint", modeldir,
+        ]
+    )
+    saved_dir = attack_main(aargs)
+    assert "Evaluating_0" in saved_dir
