@@ -101,16 +101,41 @@ def forward_losses(
     scale_const: jax.Array,
     cfg: AttackConfig,
 ) -> tuple[jax.Array, _Aux]:
-    """One loss evaluation (reference `_forward_step`, geoA3_attack.py:100-180)."""
+    """One loss evaluation (reference `_forward_step`, geoA3_attack.py:100-180).
+
+    Loss values are bit-equal to composing geoa3_tpu.losses, but the geometry
+    is FUSED for the hot path: the reference recomputes the adv->ori 1-NN four
+    times per step (chamfer, hausdorff, kappa_adv, curvature — loss_utils.py
+    :32,48,70,92) and the ori->adv 1-NN once more; here ONE pairwise-distance
+    matmul feeds both argmin directions and every 1-NN consumer, and the
+    adv self-kNN runs once through the Pallas kernel.
+    """
     b = input_curr.shape[0]
     logits = logits_fn(input_curr)
     cls_loss = _cls_loss(logits, target, cfg)
 
+    need_a2o = (
+        cfg.dis_loss_type == "CD"
+        or cfg.hd_loss_weight != 0
+        or cfg.curv_loss_weight != 0
+    )
+    if need_a2o:
+        adv_sg = jax.lax.stop_gradient(input_curr)
+        ori_sg = jax.lax.stop_gradient(pc_ori)
+        D = ops.pairwise_sqdist(adv_sg, ori_sg)  # [b, n_adv, n_ori], one matmul
+        a2o_idx = jax.lax.stop_gradient(jnp.argmin(D, axis=-1))  # [b, n_adv]
+        # differentiable squared 1-NN distances, shared by CD / HD
+        a2o_nn = jnp.take_along_axis(pc_ori, a2o_idx[..., None], axis=1)
+        d_a2o = jnp.sum((input_curr - a2o_nn) ** 2, axis=-1)  # [b, n_adv]
+
     if cfg.dis_loss_type == "CD":
         if cfg.is_cd_single_side:
-            dis_loss = L.pseudo_chamfer_loss(input_curr, pc_ori)
+            dis_loss = d_a2o.mean(axis=-1)
         else:
-            dis_loss = L.chamfer_loss(input_curr, pc_ori)
+            o2a_idx = jax.lax.stop_gradient(jnp.argmin(D, axis=-2))  # [b, n_ori]
+            o2a_nn = jnp.take_along_axis(input_curr, o2a_idx[..., None], axis=1)
+            d_o2a = jnp.sum((pc_ori - o2a_nn) ** 2, axis=-1)
+            dis_loss = d_a2o.mean(axis=-1) + d_o2a.mean(axis=-1)
         constrain = cfg.dis_loss_weight * dis_loss
     elif cfg.dis_loss_type == "L2":
         assert cfg.hd_loss_weight == 0
@@ -123,16 +148,26 @@ def forward_losses(
         raise AssertionError("Not support such distance loss")
 
     if cfg.hd_loss_weight != 0:
-        hd_loss = L.hausdorff_loss(input_curr, pc_ori)
+        hd_loss = d_a2o.max(axis=-1)
         constrain = constrain + cfg.hd_loss_weight * hd_loss
     else:
         hd_loss = jnp.zeros(b, input_curr.dtype)
 
     if cfg.curv_loss_weight != 0:
-        adv_kappa, _ = L.get_kappa_adv(
-            input_curr, pc_ori, normal_ori, cfg.curv_loss_knn
+        k = cfg.curv_loss_knn
+        # kappa_adv: normal borrowed from the nearest ORI point (shared a2o)
+        normal = jnp.take_along_axis(normal_ori, a2o_idx[..., None], axis=1)
+        self_res = ops.knn_points(input_curr, input_curr, k=k + 1)
+        nn_pts = ops.knn_gather(input_curr, self_res.idx[..., 1:])
+        vectors = nn_pts - input_curr[:, :, None, :]
+        vectors = vectors / jnp.maximum(
+            jnp.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12
         )
-        curv_loss = L.curvature_loss(input_curr, pc_ori, adv_kappa, kappa_ori)
+        adv_kappa = jnp.abs(
+            jnp.sum(vectors * normal[:, :, None, :], axis=-1)
+        ).mean(axis=-1)
+        onenn_ori_kappa = jnp.take_along_axis(kappa_ori, a2o_idx, axis=1)
+        curv_loss = jnp.mean((adv_kappa - onenn_ori_kappa) ** 2, axis=-1)
         constrain = constrain + cfg.curv_loss_weight * curv_loss
     else:
         curv_loss = jnp.zeros(b, input_curr.dtype)

@@ -226,3 +226,46 @@ class TestProjectionHelpers:
             prj.jitter_input(jax.random.PRNGKey(0), (2, 100, 3), sigma=0.5, clip=0.05)
         )
         assert np.abs(j).max() <= 0.05
+
+
+class TestFusedLossParity:
+    """engine.forward_losses must equal composing geoa3_tpu.losses directly."""
+
+    def test_fused_matches_library(self, rng):
+        import jax.numpy as jnp
+
+        from geoa3_tpu import losses as L
+        from geoa3_tpu.attack import engine
+
+        logits_fn, pc, normal, gt = make_batch(rng)
+        adv = pc + 0.01 * rng.randn(*pc.shape).astype(np.float32)
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=CLASSES, npoint=48,
+            dis_loss_type="CD", hd_loss_weight=0.1, curv_loss_weight=1.0,
+            curv_loss_knn=4,
+        )
+        kappa_ori = L.get_kappa_ori(jnp.asarray(pc), jnp.asarray(normal), 4)
+        const = jnp.full((pc.shape[0],), 10.0)
+        _, aux = engine.forward_losses(
+            logits_fn, jnp.asarray(pc), jnp.asarray(adv), jnp.asarray(normal),
+            kappa_ori, jnp.asarray(gt), const, cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux.dis_loss),
+            np.asarray(L.chamfer_loss(jnp.asarray(adv), jnp.asarray(pc))),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux.hd_loss),
+            np.asarray(L.hausdorff_loss(jnp.asarray(adv), jnp.asarray(pc))),
+            rtol=1e-5,
+        )
+        adv_kappa, _ = L.get_kappa_adv(
+            jnp.asarray(adv), jnp.asarray(pc), jnp.asarray(normal), 4
+        )
+        want_curv = L.curvature_loss(
+            jnp.asarray(adv), jnp.asarray(pc), adv_kappa, kappa_ori
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux.curv_loss), np.asarray(want_curv), rtol=1e-5, atol=1e-7
+        )
