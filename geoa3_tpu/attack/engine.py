@@ -155,10 +155,11 @@ def forward_losses(
 
     if cfg.curv_loss_weight != 0:
         k = cfg.curv_loss_knn
-        # kappa_adv: normal borrowed from the nearest ORI point (shared a2o)
+        # kappa_adv: normal borrowed from the nearest ORI point (shared a2o);
+        # neighbour coords come from the Pallas kernel (no XLA gather)
         normal = jnp.take_along_axis(normal_ori, a2o_idx[..., None], axis=1)
         self_res = ops.knn_points(input_curr, input_curr, k=k + 1)
-        nn_pts = ops.knn_gather(input_curr, self_res.idx[..., 1:])
+        nn_pts = self_res.nbrs[:, :, 1:, :]
         vectors = nn_pts - input_curr[:, :, None, :]
         vectors = vectors / jnp.maximum(
             jnp.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12

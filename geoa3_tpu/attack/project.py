@@ -67,7 +67,7 @@ def _local_covariance_eig(pc: jax.Array, k: int):
     (reference Lib/utility.py:40-149).
     """
     res = ops.knn_points(pc, pc, k=k + 1)
-    nn_pts = ops.knn_gather(pc, res.idx[..., 1:])  # [b, n, k, 3]
+    nn_pts = res.nbrs[:, :, 1:, :]  # [b, n, k, 3]
     centered = nn_pts - nn_pts.mean(axis=2, keepdims=True)
     cov = jnp.einsum("bnkc,bnkd->bncd", centered, centered) / (k - 1)
     eigval, eigvec = jnp.linalg.eigh(cov)  # ascending eigenvalues

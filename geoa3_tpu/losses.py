@@ -65,7 +65,7 @@ def get_kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
     (self excluded).
     """
     res = ops.knn_points(pc, pc, k=k + 1)
-    nn_pts = ops.knn_gather(pc, res.idx[..., 1:])  # [b, n, k, 3]
+    nn_pts = res.nbrs[:, :, 1:, :]  # [b, n, k, 3]
     vectors = _l2normalize(nn_pts - pc[:, :, None, :])
     return jnp.abs(jnp.sum(vectors * normal[:, :, None, :], axis=-1)).mean(axis=-1)
 
@@ -81,7 +81,7 @@ def get_kappa_adv(
     normal = ops.knn_gather(ori_normal, one_nn.idx)[:, :, 0, :]  # [b, n, 3]
 
     res = ops.knn_points(adv_pc, adv_pc, k=k + 1)
-    nn_pts = ops.knn_gather(adv_pc, res.idx[..., 1:])
+    nn_pts = res.nbrs[:, :, 1:, :]
     vectors = _l2normalize(nn_pts - adv_pc[:, :, None, :])
     kappa = jnp.abs(jnp.sum(vectors * normal[:, :, None, :], axis=-1)).mean(axis=-1)
     return kappa, normal
@@ -117,7 +117,7 @@ def corresponding_normal_loss(
 ) -> jax.Array:
     """|<normalized nbr offsets, given normal>| averaged over k nbrs -> [b, n]. (:109-117)"""
     res = ops.knn_points(adv_pc, adv_pc, k=k + 1)
-    nn_pts = ops.knn_gather(adv_pc, res.idx[..., 1:])
+    nn_pts = res.nbrs[:, :, 1:, :]
     vectors = _l2normalize(nn_pts - adv_pc[:, :, None, :])
     return jnp.abs(jnp.sum(vectors * normal[:, :, None, :], axis=-1)).mean(axis=-1)
 

@@ -11,6 +11,7 @@ is the natural TPU layout (channels ride the 128-wide lane dimension).
 from geoa3_tpu.ops.knn import (
     pairwise_sqdist,
     knn_points,
+    knn_points_planes,
     knn_gather,
 )
 from geoa3_tpu.ops.sampling import (
@@ -29,6 +30,7 @@ from geoa3_tpu.ops.grouping import (
 __all__ = [
     "pairwise_sqdist",
     "knn_points",
+    "knn_points_planes",
     "knn_gather",
     "furthest_point_sampling",
     "farthest_points_sample",

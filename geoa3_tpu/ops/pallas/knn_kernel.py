@@ -38,6 +38,7 @@ _INF = 3.4e38  # python float: jnp scalars would be captured tracers in kernels
 class _KNN(NamedTuple):
     dists: jax.Array
     idx: jax.Array
+    nbrs: jax.Array  # gathered neighbour coordinates [b, n, k, 3]
 
 
 def pallas_available() -> bool:
@@ -50,10 +51,18 @@ def pallas_available() -> bool:
         return False
 
 
-def _knn_kernel(q_ref, p_ref, dist_ref, idx_ref, *, k: int):
+def _knn_kernel(q_ref, p_ref, dist_ref, idx_ref, x_ref, y_ref, z_ref, *, k: int):
     """One (row-block x full-points) tile: exact k smallest per row.
 
-    q_ref: [1, R, 3], p_ref: [1, m, 3], outputs [1, R, k].
+    q_ref: [1, R, 3], p_ref: [1, m, 3]; outputs [1, R, k] x5
+    (dist, idx, and the neighbour x/y/z coordinate planes).
+
+    Besides distances/indices, the kernel emits the gathered neighbour
+    COORDINATES as exact VPU masked-sums over the one-hot row (sum of one
+    non-zero f32 is exact) — XLA's gather of [*, 3] rows costs ~4 ms at this
+    size on v5e, these reductions ride the VMEM-resident distance block.
+    Coordinates are three [R, k] planes (a packed [R, k, 3] output would be
+    lane-padded 3->128 and blow the VMEM budget).
     """
     q = q_ref[0]  # [R, 3]
     p = p_ref[0]  # [m, 3]
@@ -77,8 +86,13 @@ def _knn_kernel(q_ref, p_ref, dist_ref, idx_ref, *, k: int):
         # lowest-index tie break: first column achieving the row min
         is_min = d == vals[:, None]
         first = jnp.min(jnp.where(is_min, col, m), axis=-1)  # [R]
+        onehot = (col == first[:, None]).astype(jnp.float32)  # [R, m]
         dist_ref[0, :, j] = vals
         idx_ref[0, :, j] = first
+        # neighbour coords: exact masked-sum row copy (one non-zero term)
+        x_ref[0, :, j] = jnp.sum(onehot * p[:, 0][None, :], axis=-1)
+        y_ref[0, :, j] = jnp.sum(onehot * p[:, 1][None, :], axis=-1)
+        z_ref[0, :, j] = jnp.sum(onehot * p[:, 2][None, :], axis=-1)
         # knock out the selected column for the next round
         return jnp.where(col == first[:, None], _INF, d)
 
@@ -104,23 +118,64 @@ def knn_pallas(
         )
     grid = (b, (n + n_pad) // R)
 
-    dists, idx = pl.pallas_call(
+    plane = pl.BlockSpec((1, R, k), lambda i, j: (i, j, 0))
+    plane_shape = jax.ShapeDtypeStruct((b, n + n_pad, k), jnp.float32)
+    dists, idx, x, y, z = pl.pallas_call(
         functools.partial(_knn_kernel, k=k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, 3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, R, k), lambda i, j: (i, j, 0)),
-        ],
+        out_specs=[plane, plane, plane, plane, plane],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n + n_pad, k), jnp.float32),
+            plane_shape,
             jax.ShapeDtypeStruct((b, n + n_pad, k), jnp.int32),
+            plane_shape,
+            plane_shape,
+            plane_shape,
         ],
     )(query.astype(jnp.float32), points.astype(jnp.float32))
 
+    nbrs = jnp.stack([x, y, z], axis=-1)  # [b, n+pad, k, 3]
     if n_pad:
-        dists, idx = dists[:, :n], idx[:, :n]
-    return _KNN(dists=dists, idx=idx)
+        dists, idx, nbrs = dists[:, :n], idx[:, :n], nbrs[:, :n]
+    return _KNN(dists=dists, idx=idx, nbrs=nbrs)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def knn_pallas_planes(
+    query: jax.Array, points: jax.Array, k: int, row_block: int = 256
+):
+    """Like knn_pallas but returns (idx, x, y, z) coordinate planes [b, n, k]
+    without materialising the lane-padded [b, n, k, 3] stack."""
+    b, n, _ = query.shape
+    m = points.shape[1]
+    R = min(row_block, n)
+    n_pad = (-n) % R
+    if n_pad:
+        query = jnp.concatenate(
+            [query, jnp.zeros((b, n_pad, 3), query.dtype)], axis=1
+        )
+    grid = (b, (n + n_pad) // R)
+    plane = pl.BlockSpec((1, R, k), lambda i, j: (i, j, 0))
+    plane_shape = jax.ShapeDtypeStruct((b, n + n_pad, k), jnp.float32)
+    _, idx, x, y, z = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[plane, plane, plane, plane, plane],
+        out_shape=[
+            plane_shape,
+            jax.ShapeDtypeStruct((b, n + n_pad, k), jnp.int32),
+            plane_shape,
+            plane_shape,
+            plane_shape,
+        ],
+    )(query.astype(jnp.float32), points.astype(jnp.float32))
+    if n_pad:
+        idx, x, y, z = idx[:, :n], x[:, :n], y[:, :n], z[:, :n]
+    return idx, x, y, z
