@@ -21,6 +21,12 @@ import jax.numpy as jnp
 _INF = 1e10
 
 
+def _use_pallas() -> bool:
+    from geoa3_tpu.ops.pallas.knn_kernel import pallas_available
+
+    return pallas_available()
+
+
 def furthest_point_sampling(xyz: jax.Array, npoint: int) -> jax.Array:
     """Greedy FPS, CUDA-kernel semantics. xyz: [b, n, 3] -> idx [b, npoint] int32.
 
@@ -33,6 +39,10 @@ def furthest_point_sampling(xyz: jax.Array, npoint: int) -> jax.Array:
     """
     xyz = jax.lax.stop_gradient(xyz)
     b, n, _ = xyz.shape
+    if _use_pallas():
+        from geoa3_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(xyz, npoint, skip_near_origin=True)
     mag_ok = jnp.sum(xyz * xyz, axis=-1) > 1e-3  # [b, n]
 
     def body(j, carry):
@@ -76,6 +86,10 @@ def _fps_random_start(
     points = jax.lax.stop_gradient(points)
     b, n, _ = points.shape
     first = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
+    if _use_pallas():
+        from geoa3_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(points, num_points, start=first, skip_near_origin=False)
 
     def body(j, carry):
         mindist, idxs, last = carry

@@ -1,0 +1,93 @@
+"""Pallas kernel tests (interpreter mode, so they run in the CPU test suite).
+
+On real TPU hardware the same kernels are exercised through ops.knn_points /
+ops.furthest_point_sampling via the auto backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from geoa3_tpu.ops.pallas.fps_kernel import fps_pallas
+from geoa3_tpu.ops.pallas.knn_kernel import knn_pallas, knn_pallas_planes
+from tests.test_ops import np_fps_cuda, np_knn
+
+
+@pytest.fixture
+def clouds(rng):
+    q = rng.randn(2, 96, 3).astype(np.float32)
+    p = rng.randn(2, 128, 3).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(p)
+
+
+class TestKnnKernel:
+    def test_matches_bruteforce(self, clouds):
+        q, p = clouds
+        with pltpu.force_tpu_interpret_mode():
+            out = knn_pallas(q, p, 5, row_block=32)
+        nd, ni = np_knn(np.asarray(q), np.asarray(p), 5)
+        np.testing.assert_array_equal(np.asarray(out.idx), ni)
+        np.testing.assert_allclose(np.asarray(out.dists), nd, atol=1e-3)
+        # neighbour coords are exact row copies
+        want = np.stack(
+            [np.asarray(p)[b][ni[b]] for b in range(2)]
+        )
+        np.testing.assert_array_equal(np.asarray(out.nbrs), want)
+
+    def test_planes_match_stacked(self, clouds):
+        q, p = clouds
+        with pltpu.force_tpu_interpret_mode():
+            out = knn_pallas(q, p, 4, row_block=32)
+            idx, x, y, z = knn_pallas_planes(q, p, 4, row_block=32)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(out.idx))
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(out.nbrs[..., 0]))
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(out.nbrs[..., 2]))
+
+    def test_row_padding(self, rng):
+        # n not divisible by row_block
+        q = jnp.asarray(rng.randn(1, 50, 3).astype(np.float32))
+        p = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = knn_pallas(q, p, 3, row_block=32)
+        nd, ni = np_knn(np.asarray(q), np.asarray(p), 3)
+        np.testing.assert_array_equal(np.asarray(out.idx), ni)
+
+
+class TestFpsKernel:
+    def test_matches_cuda_semantics(self, rng):
+        xyz = jnp.asarray(rng.randn(3, 64, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            idx = fps_pallas(xyz, 16)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np_fps_cuda(np.asarray(xyz), 16)
+        )
+
+    def test_mag_skip_and_no_skip(self, rng):
+        xyz = np.zeros((1, 16, 3), np.float32)
+        xyz[0, 0] = [0.01, 0, 0]
+        xyz[0, 1] = [0, 0.01, 0]
+        xyz[0, 2:] = rng.randn(14, 3) + 2.0
+        with pltpu.force_tpu_interpret_mode():
+            idx = np.asarray(fps_pallas(jnp.asarray(xyz), 6))
+            idx_noskip = np.asarray(
+                fps_pallas(jnp.asarray(xyz), 6, skip_near_origin=False)
+            )
+        assert 1 not in idx[0].tolist()  # near-origin point skipped
+        # without the skip, the near-origin point IS reachable (it is far
+        # from the +2 cluster)
+        assert 1 in idx_noskip[0].tolist() or 0 in idx_noskip[0].tolist()
+
+    def test_random_start(self, rng):
+        xyz = jnp.asarray(rng.randn(2, 48, 3).astype(np.float32))
+        start = jnp.asarray([7, 13], jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            idx = np.asarray(fps_pallas(xyz, 8, start=start, skip_near_origin=False))
+        assert idx[0, 0] == 7 and idx[1, 0] == 13
+
+    def test_single_batch_padding(self, rng):
+        xyz = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            idx = np.asarray(fps_pallas(xyz, 8))
+        np.testing.assert_array_equal(idx, np_fps_cuda(np.asarray(xyz), 8))
