@@ -29,6 +29,16 @@ def sample_points_from_mesh(
     (points [num_points, 3], face normals per sample [num_points, 3]).
     """
     rng = rng or np.random.RandomState(0)
+    from geoa3_tpu import native
+
+    if native.available():
+        seed = int(rng.randint(0, 2**31 - 1))
+        return native.sample_mesh(
+            np.asarray(vertices, np.float32),
+            np.asarray(faces, np.int32),
+            num_points,
+            seed=seed,
+        )
     v = np.asarray(vertices, np.float64)
     f = np.asarray(faces, np.int64)
     a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]

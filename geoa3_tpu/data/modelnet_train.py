@@ -116,8 +116,7 @@ class ModelNetTrainDataset(_BatchIterMixin):
             return self.cache[index]
         name, path = self.datapath[index]
         cls = self.classes[name]
-        point_set = np.loadtxt(path, delimiter=",").astype(np.float32)
-        point_set = point_set[0 : self.npoints, :]
+        point_set = self._read_points(path)
         if self.normalize:
             point_set[:, 0:3] = pc_normalize(point_set[:, 0:3])
         if not self.normal_channel:
@@ -125,6 +124,16 @@ class ModelNetTrainDataset(_BatchIterMixin):
         if len(self.cache) < self.cache_size:
             self.cache[index] = (point_set, cls)
         return point_set, cls
+
+    def _read_points(self, path: str) -> np.ndarray:
+        """Read the first npoints rows; native parser when built (~30x
+        faster than np.loadtxt), numpy fallback otherwise."""
+        from geoa3_tpu import native
+
+        if native.available():
+            return native.parse_points(path, max_rows=self.npoints, cols=6)
+        point_set = np.loadtxt(path, delimiter=",").astype(np.float32)
+        return point_set[0 : self.npoints, :]
 
 
 class SyntheticTrainDataset(_BatchIterMixin):
