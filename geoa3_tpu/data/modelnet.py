@@ -82,11 +82,13 @@ class AttackSetDataset:
         data_mat_file: str,
         attack_label: str = "All",
         resample_num: int = -1,
+        is_half_forward: bool = False,
         seed: int = 0,
     ):
         if not os.path.isfile(data_mat_file):
             raise FileNotFoundError(f"No exists .mat file! ({data_mat_file})")
         self.attack_label = attack_label
+        self.is_half_forward = is_half_forward
         self._rng = np.random.RandomState(seed)
 
         dataset = sio.loadmat(data_mat_file)
@@ -139,12 +141,27 @@ class AttackSetDataset:
             )
             assert targets.shape[0] == 9
             l = 9
-            return AttackItem(
+            item = AttackItem(
                 pc=np.broadcast_to(pc, (l,) + pc.shape).copy(),
                 normal=np.broadcast_to(normal, (l,) + normal.shape).copy(),
                 gt_label=np.full(l, label, np.int64),
                 target_label=targets,
             )
+            if self.is_half_forward:
+                # split the 9 targets into 4 + 5 chunks so memory-constrained
+                # victims run two half batches (reference
+                # modelnet10_instance250.py:79-80)
+                return [
+                    AttackItem(
+                        item.pc[:4], item.normal[:4],
+                        item.gt_label[:4], item.target_label[:4],
+                    ),
+                    AttackItem(
+                        item.pc[4:], item.normal[4:],
+                        item.gt_label[4:], item.target_label[4:],
+                    ),
+                ]
+            return item
         if self.attack_label == "Untarget":
             return AttackItem(
                 pc=pc[None],

@@ -90,6 +90,8 @@ class PointNet(nn.Module):
     classes: int = 40
     npoint: int = 1024  # informational only, matches the reference ctor arg
     bn_momentum: float = 0.9  # flax convention (torch momentum = 1 - this)
+    return_idx: bool = False  # eval mode also returns the max-pool argmax
+    # (the critical-point indices; reference PointNet.py:97,147,156-160)
 
     @nn.compact
     def __call__(self, pc: jax.Array, train: bool = False, point_mask=None):
@@ -127,6 +129,12 @@ class PointNet(nn.Module):
             1024, kernel_size=(3,), padding=[(1, 1)], name="conv5"
         )(feat)
         feat = nn.relu(bn("bn5", CONV_BN_EPS)(feat))
+        if self.return_idx and not train:
+            pool_idx = jnp.argmax(
+                feat if point_mask is None
+                else jnp.where(point_mask[..., None], feat, jnp.finfo(feat.dtype).min),
+                axis=1,
+            )  # [b, 1024] critical-point indices
         feat = _masked_max(feat, point_mask)  # [b, 1024]
 
         feat = nn.relu(bn("bn6", FC_BN_EPS)(nn.Dense(512, name="fc1")(feat)))
@@ -137,4 +145,6 @@ class PointNet(nn.Module):
 
         if train:
             return logits, t_feat
+        if self.return_idx:
+            return logits, pool_idx
         return logits
