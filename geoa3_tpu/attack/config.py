@@ -36,6 +36,12 @@ class AttackConfig:
     hd_loss_weight: float = 0.1
     curv_loss_weight: float = 1.0
     curv_loss_knn: int = 16
+    # TPU perf option (1 = exact reference semantics): recompute the adv
+    # self-kNN indices every N steps instead of every step. Points move
+    # ~lr per step, so neighbourhoods are stable over a few steps; neighbour
+    # COORDS are always gathered from the CURRENT cloud — only the index set
+    # may be up to N-1 steps stale.
+    curv_knn_refresh_every: int = 1
     uniform_loss_weight: float = 0.0
     # ---- optimisation variants ----
     is_use_lr_scheduler: bool = False

@@ -100,6 +100,7 @@ def forward_losses(
     target: jax.Array,
     scale_const: jax.Array,
     cfg: AttackConfig,
+    self_idx: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, _Aux]:
     """One loss evaluation (reference `_forward_step`, geoA3_attack.py:100-180).
 
@@ -156,10 +157,14 @@ def forward_losses(
     if cfg.curv_loss_weight != 0:
         k = cfg.curv_loss_knn
         # kappa_adv: normal borrowed from the nearest ORI point (shared a2o);
-        # neighbour coords come from the Pallas kernel (no XLA gather)
+        # neighbour coords come from the Pallas kernel (no XLA gather), or —
+        # with curv_knn_refresh_every > 1 — from a gather at cached indices
         normal = jnp.take_along_axis(normal_ori, a2o_idx[..., None], axis=1)
-        self_res = ops.knn_points(input_curr, input_curr, k=k + 1)
-        nn_pts = self_res.nbrs[:, :, 1:, :]
+        if self_idx is not None:
+            nn_pts = ops.knn_gather(input_curr, self_idx[..., 1:])
+        else:
+            self_res = ops.knn_points(input_curr, input_curr, k=k + 1)
+            nn_pts = self_res.nbrs[:, :, 1:, :]
         vectors = nn_pts - input_curr[:, :, None, :]
         vectors = vectors / jnp.maximum(
             jnp.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12
@@ -256,7 +261,15 @@ def make_attack_fn(
         )
         tx = _make_optimizer(cfg)
 
-        def loss_of_offset(offset, periodical_pc, jitter_noise, scale_const, fps_key):
+        lazy_knn = (
+            cfg.curv_loss_weight != 0
+            and cfg.curv_knn_refresh_every > 1
+            and not subsample  # subsampled clouds change point sets per step
+        )
+
+        def loss_of_offset(
+            offset, periodical_pc, jitter_noise, scale_const, fps_key, self_idx
+        ):
             input_all = periodical_pc + offset
             if subsample:
                 input_curr = ops.farthest_points_sample(
@@ -275,6 +288,7 @@ def make_attack_fn(
                 target,
                 scale_const,
                 cfg,
+                self_idx=self_idx if lazy_knn else None,
             )
 
         grad_fn = jax.value_and_grad(loss_of_offset, has_aux=True)
@@ -283,9 +297,22 @@ def make_attack_fn(
             """One full inner optimisation (iter_max_steps Adam steps)."""
 
             def inner_step(carry, step):
-                offset, opt_state, best, it_loss, it_score, jitter, key = carry
+                (offset, opt_state, best, it_loss, it_score, jitter, self_idx,
+                 key) = carry
                 key, k_jit, k_fps, k_eval = jax.random.split(key, 4)
                 input_all = periodical_pc + offset
+
+                # --- lazy self-kNN refresh (TPU perf option, exact when 1) ---
+                if lazy_knn:
+                    self_idx = jax.lax.cond(
+                        step % cfg.curv_knn_refresh_every == 0,
+                        lambda: ops.knn_points(
+                            jax.lax.stop_gradient(input_all),
+                            jax.lax.stop_gradient(input_all),
+                            k=cfg.curv_loss_knn + 1,
+                        ).idx,
+                        lambda: self_idx,
+                    )
 
                 # --- tangent jitter refresh every K steps (reference :312-317) ---
                 if cfg.is_pre_jitter_input:
@@ -303,7 +330,7 @@ def make_attack_fn(
 
                 # --- fused forward+grad ---
                 (_, aux), grads = grad_fn(
-                    offset, periodical_pc, jitter, scale_const, k_fps
+                    offset, periodical_pc, jitter, scale_const, k_fps, self_idx
                 )
 
                 # --- eval / best tracking (reference :288-310) ---
@@ -346,9 +373,10 @@ def make_attack_fn(
                 if cfg.cc_linf != 0:
                     offset = lp_clip(offset, cfg.cc_linf)
 
-                return (offset, opt_state, best, it_loss, it_score, jitter, key), (
-                    aux.loss_n
-                )
+                return (
+                    offset, opt_state, best, it_loss, it_score, jitter,
+                    self_idx, key,
+                ), aux.loss_n
 
             k_init, k_scan = jax.random.split(key)
             offset0 = 1e-3 * jax.random.normal(k_init, (b, n, 3), pc_ori.dtype)
@@ -356,11 +384,19 @@ def make_attack_fn(
             it_loss0 = jnp.full((b,), _INF, pc_ori.dtype)
             it_score0 = jnp.full((b,), -1, jnp.int32)
             jitter0 = jnp.zeros((b, n, 3), pc_ori.dtype)
-            carry0 = (offset0, opt_state0, best, it_loss0, it_score0, jitter0, k_scan)
+            self_idx0 = (
+                jnp.zeros((b, n, cfg.curv_loss_knn + 1), jnp.int32)
+                if lazy_knn
+                else jnp.zeros((), jnp.int32)  # placeholder carry leaf
+            )
+            carry0 = (
+                offset0, opt_state0, best, it_loss0, it_score0, jitter0,
+                self_idx0, k_scan,
+            )
             carry, loss_ys = jax.lax.scan(
                 inner_step, carry0, jnp.arange(cfg.iter_max_steps)
             )
-            _, _, best, it_loss, it_score, _, _ = carry
+            best, it_score = carry[2], carry[4]
             return best, it_score, loss_ys
 
         def binary_step(carry, bs_idx):

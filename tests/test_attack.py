@@ -269,3 +269,23 @@ class TestFusedLossParity:
         np.testing.assert_allclose(
             np.asarray(aux.curv_loss), np.asarray(want_curv), rtol=1e-5, atol=1e-7
         )
+
+
+class TestLazyKnnRefresh:
+    def test_refresh_matches_exact_closely_and_succeeds(self, rng):
+        """curv_knn_refresh_every > 1 must still succeed and track the exact
+        variant closely (identical RNG, tiny steps -> stable neighbourhoods)."""
+        logits_fn, pc, normal, gt = make_batch(rng)
+        kw = dict(BASE)
+        exact = AttackConfig(attack_label="Untarget", **kw)
+        lazy = AttackConfig(
+            attack_label="Untarget", curv_knn_refresh_every=5, **kw
+        )
+        r_exact = attack(logits_fn, pc, normal, gt, gt, exact, jax.random.PRNGKey(7))
+        r_lazy = attack(logits_fn, pc, normal, gt, gt, lazy, jax.random.PRNGKey(7))
+        assert np.asarray(r_lazy.success).mean() >= 0.5
+        # loss trajectories stay close (not identical: indices refresh lazily)
+        a = np.asarray(r_exact.all_loss)
+        b = np.asarray(r_lazy.all_loss)
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.2
