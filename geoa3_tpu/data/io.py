@@ -175,6 +175,53 @@ def read_off(path: str) -> Tuple[List[List[float]], List[List[int]]]:
     return vertices, faces
 
 
+# ---------------------------------------------------------------- PLY
+
+
+def read_ply_ascii(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Minimal ascii-PLY vertex reader -> (points [n, 3], normals [n, 3]|None).
+
+    Covers the virtual-scan inputs the reference parses with its
+    `read_off_lines` helper (reference Provider/gen_data_mat.py:69-86, which
+    is actually a PLY-header skipper). Only ascii PLY with x/y/z (+ optional
+    nx/ny/nz) vertex properties is supported.
+    """
+    with open(path) as f:
+        line = f.readline().strip()
+        assert line == "ply", f"not a PLY file: {path}"
+        n_verts = 0
+        props: List[str] = []
+        in_vertex = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"unterminated PLY header: {path}")
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                assert parts[1] == "ascii", "only ascii PLY supported"
+            elif parts[0] == "element":
+                in_vertex = parts[1] == "vertex"
+                if in_vertex:
+                    n_verts = int(parts[2])
+            elif parts[0] == "property" and in_vertex:
+                props.append(parts[-1])
+            elif parts[0] == "end_header":
+                break
+        xi = [props.index(c) for c in ("x", "y", "z")]
+        has_n = all(c in props for c in ("nx", "ny", "nz"))
+        ni = [props.index(c) for c in ("nx", "ny", "nz")] if has_n else None
+        pts = np.empty((n_verts, 3), np.float32)
+        nrm = np.empty((n_verts, 3), np.float32) if has_n else None
+        for i in range(n_verts):
+            vals = f.readline().split()
+            pts[i] = [float(vals[j]) for j in xi]
+            if has_n:
+                nrm[i] = [float(vals[j]) for j in ni]
+        return pts, nrm
+
+
 # ---------------------------------------------------------------- normalisation
 
 

@@ -243,3 +243,22 @@ class TestTrainDataset:
         assert set(np.unique(lbl)) <= {0, 1}
         # normalised
         assert np.linalg.norm(pts, axis=-1).max() <= 1.0 + 1e-5
+
+
+class TestPLY:
+    def test_read_ply_ascii_roundtrip(self, tmp_path, rng):
+        pts = rng.randn(12, 3).astype(np.float32)
+        nrm = rng.randn(12, 3).astype(np.float32)
+        path = tmp_path / "scan.ply"
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\ncomment virtual scan\n")
+            f.write("element vertex 12\n")
+            for p in ("x", "y", "z", "nx", "ny", "nz"):
+                f.write(f"property float {p}\n")
+            f.write("element face 0\nproperty list uchar int vertex_indices\n")
+            f.write("end_header\n")
+            for p, m in zip(pts, nrm):
+                f.write(" ".join(f"{v:.6f}" for v in list(p) + list(m)) + "\n")
+        got_p, got_n = io.read_ply_ascii(str(path))
+        np.testing.assert_allclose(got_p, pts, atol=1e-5)
+        np.testing.assert_allclose(got_n, nrm, atol=1e-5)
