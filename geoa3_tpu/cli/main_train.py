@@ -98,7 +98,10 @@ def main(cfg_args) -> dict:
             npoints=tcfg.npoint, split="test", normal_channel=False,
         )
 
-    _, result = train(tcfg, train_ds, test_ds, modeldir=modeldir)
+    _, result = train(
+        tcfg, train_ds, test_ds, modeldir=modeldir,
+        resume=cfg_args.resume or None,
+    )
     return result
 
 

@@ -221,8 +221,13 @@ def train(
     test_dataset,
     modeldir: Optional[str] = None,
     log: Callable[[str], None] = print,
+    resume: Optional[str] = None,
 ) -> Tuple[TrainState, dict]:
-    """Full training run (reference main_train.py:135-347)."""
+    """Full training run (reference main_train.py:135-347).
+
+    `resume` restores params/stats/optimizer/epoch/best from a checkpoint file
+    or directory (reference :167-178).
+    """
     if modeldir:
         os.makedirs(modeldir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
@@ -231,9 +236,25 @@ def train(
     eval_step = make_eval_step(cfg)
 
     best_prec, class_prec = 0.0, 0.0
+    start_epoch = 1
+    if resume:
+        from geoa3_tpu.utils.checkpoint import load_checkpoint, restore_into
+
+        ckpt = load_checkpoint(resume)
+        assert ckpt is not None, "WRONG RESUME PATH!"
+        state = TrainState(
+            params=restore_into(state.params, ckpt["params"]),
+            batch_stats=restore_into(state.batch_stats, ckpt["batch_stats"]),
+            opt_state=restore_into(state.opt_state, ckpt["opt_state"]),
+            step=state.step,
+        )
+        start_epoch = int(ckpt["epoch"]) + 1
+        best_prec = float(ckpt.get("best_prec", 0.0))
+        class_prec = float(ckpt.get("class_prec", 0.0))
+        log(f"=> loaded checkpoint '{resume}' (epoch {ckpt['epoch']})")
     cached_step, cached_epoch_cfg = None, None
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         # train steps are re-jitted only when lr / BN momentum actually change
         epoch_cfg = (
             lr_for_epoch(cfg.lr, epoch - 1, cfg.decay_epochs),

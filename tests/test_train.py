@@ -143,3 +143,26 @@ def test_torch_checkpoint_loading_via_victim_loader(tmp_path):
 
     variables = load_victim_variables(str(tmp_path), arch="PointNet")
     assert "params" in variables and "batch_stats" in variables
+
+
+def test_resume_continues_training(tmp_path):
+    """--resume restores epoch/best and continues (reference :167-178)."""
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(arch="PointNet", classes=4, npoint=32, batch_size=8, epochs=2)
+    ds = SyntheticTrainDataset(num_per_class=8, classes=4, batch_size=8, npoints=32)
+    ds_test = SyntheticTrainDataset(
+        num_per_class=4, classes=4, batch_size=8, npoints=32, split="test"
+    )
+    state1, _ = train(cfg, ds, ds_test, modeldir=str(tmp_path), log=lambda s: None)
+    cfg3 = TrainConfig(arch="PointNet", classes=4, npoint=32, batch_size=8, epochs=3)
+    logs = []
+    state2, _ = train(
+        cfg3, ds, ds_test, modeldir=str(tmp_path), log=logs.append,
+        resume=str(tmp_path),
+    )
+    assert any("loaded checkpoint" in l for l in logs)
+    # only epoch 3 ran after resume
+    assert sum("epoch [" in l for l in logs) == 1
+    ckpt = load_checkpoint(str(tmp_path))
+    assert ckpt["epoch"] == 3
