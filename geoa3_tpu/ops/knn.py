@@ -53,12 +53,20 @@ def _coords_gather_fwd(points, idx, precomputed):
 
 def _coords_gather_bwd(res, ct):
     idx, points = res
-    b = points.shape[0]
-    g = (
-        jnp.zeros_like(points)
-        .at[jnp.arange(b)[:, None, None], idx]
-        .add(ct)
-    )
+    b, m, c = points.shape
+    if c == 3 and _pallas_ok(m, idx.shape[-1]) and m % 256 == 0:
+        # XLA lowers this scatter-add as sort + segmented reduce (~8 ms at
+        # [32,1024,17,3] on v5e); the Pallas one-hot-matmul kernel is ~30%
+        # faster and bit-equivalent up to f32 summation order
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_pallas
+
+        g = scatter_add_pallas(idx, ct, m).astype(points.dtype)
+    else:
+        g = (
+            jnp.zeros_like(points)
+            .at[jnp.arange(b)[:, None, None], idx]
+            .add(ct)
+        )
     return g, None, jnp.zeros_like(ct)
 
 

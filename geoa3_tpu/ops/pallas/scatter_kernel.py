@@ -1,0 +1,73 @@
+"""Scatter-add Pallas kernel for the kNN-gather backward.
+
+XLA lowers `zeros.at[batch, idx].add(ct)` on TPU as sort + segmented reduce —
+~8 ms/step for the [b=32, n=1024, k=17, 3] self-kNN cotangents (profiled:
+fusion.594 + sort.4 in the attack step). This kernel computes the same
+scatter as k one-hot matmuls per (batch, row-block) tile:
+
+    out[mm, :] = sum_{i,j} [idx[i,j] == mm] * ct[i,j, :]
+               = sum_j  onehot_j[mm, i] @ ct_j[i, :]
+
+with the one-hot built by an iota compare in VMEM and the contraction on the
+MXU (precision=HIGHEST so the 1.0 * ct products are exact f32 — the result is
+then bit-identical to a sequential f32 scatter-add up to summation order,
+same as CUDA atomicAdd in the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _scatter3_kernel(idx_ref, ct_ref, out_ref, *, k: int, n: int):
+    """idx_ref [1, k, n] int32; ct_ref [1, k, 3, n] f32;
+    out_ref [1, TM, 3] f32 (one m-block of the scatter target)."""
+    tm = out_ref.shape[1]
+    m_start = pl.program_id(1) * tm
+    # rows of this output block: global indices m_start + [0, tm)
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (tm, n), 0) + m_start
+    )  # [tm, n]
+
+    acc = jnp.zeros((tm, 3), jnp.float32)
+    for j in range(k):
+        idx_j = idx_ref[0, j, :][None, :]  # [1, n]
+        onehot = (row_ids == idx_j).astype(jnp.float32)  # [tm, n]
+        ct_j = ct_ref[0, j]  # [3, n]
+        acc = acc + jax.lax.dot_general(
+            onehot,
+            ct_j,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("m", "m_block"))
+def scatter_add_pallas(
+    idx: jax.Array, ct: jax.Array, m: int, m_block: int = 256
+) -> jax.Array:
+    """Scatter-add neighbour cotangents: idx [b, n, k], ct [b, n, k, 3] ->
+    [b, m, 3] with out[b, idx[b,i,j]] += ct[b,i,j]."""
+    b, n, k = idx.shape
+    idx_t = idx.transpose(0, 2, 1)  # [b, k, n]
+    ct_t = ct.transpose(0, 2, 3, 1)  # [b, k, 3, n]
+    tm = min(m_block, m)
+    assert m % tm == 0, "m must divide by m_block"
+    grid = (b, m // tm)
+
+    return pl.pallas_call(
+        functools.partial(_scatter3_kernel, k=k, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, k, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, 3, n), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
+    )(idx_t, ct_t.astype(jnp.float32))

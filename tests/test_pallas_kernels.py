@@ -91,3 +91,40 @@ class TestFpsKernel:
         with pltpu.force_tpu_interpret_mode():
             idx = np.asarray(fps_pallas(xyz, 8))
         np.testing.assert_array_equal(idx, np_fps_cuda(np.asarray(xyz), 8))
+
+
+class TestScatterKernel:
+    def test_scatter_matches_xla(self, rng):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_pallas
+
+        b, n, k, m = 2, 64, 5, 256
+        idx = jnp.asarray(rng.randint(0, m, (b, n, k)), jnp.int32)
+        ct = jnp.asarray(rng.randn(b, n, k, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = scatter_add_pallas(idx, ct, m)
+        want = (
+            jnp.zeros((b, m, 3))
+            .at[jnp.arange(b)[:, None, None], idx]
+            .add(ct)
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_gather_grad_uses_scatter_consistently(self, rng):
+        """knn_points nbr gradients equal the take_along_axis formulation."""
+        from geoa3_tpu import ops
+
+        q = jnp.asarray(rng.randn(1, 48, 3).astype(np.float32))
+
+        def f(p):
+            return ops.knn_points(q, p, k=4).nbrs.sum()
+
+        p = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        g = jax.grad(f)(p)
+        # reference: gather counts per index
+        idx = np.asarray(ops.knn_points(q, p, k=4).idx)
+        counts = np.zeros((1, 64))
+        for i in idx.reshape(-1):
+            counts[0, i] += 1
+        np.testing.assert_allclose(
+            np.asarray(g), counts[..., None].repeat(3, -1), atol=1e-5
+        )
