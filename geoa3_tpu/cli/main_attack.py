@@ -366,9 +366,49 @@ def main(args) -> str:
     print(f"attack success: {rate:.2f}\n")
     with open(os.path.join(saved_dir, "attack_result.txt"), "at") as f:
         f.write(f"attack success: {rate:.2f}\n")
+
+    # extra (beyond the reference): geometric-quality metrics of the
+    # successful adversarial clouds, for the CD/HD parity audit
+    _write_attack_metrics(saved_dir, dataset, rate)
     print(f"saved_dir: {saved_dir}")
     print("Finish!")
     return saved_dir
+
+
+def _write_attack_metrics(saved_dir: str, dataset, success_rate: float) -> None:
+    import json
+
+    from geoa3_tpu import losses as L
+    from geoa3_tpu.data.modelnet import DefenseMatDataset
+
+    mat_dir = os.path.join(saved_dir, "Mat")
+    try:
+        adv_ds = DefenseMatDataset(mat_dir)
+    except FileNotFoundError:
+        return
+    if len(adv_ds) == 0:
+        return
+    # match each adv instance back to its clean cloud via the filename index
+    cds, hds = [], []
+    clean_by_idx = {i: dataset.data[i] for i in range(len(dataset))}
+    for path in adv_ds.files:
+        stem = os.path.basename(path)
+        inst = int(stem.split("_")[1]) - dataset.start_index
+        if inst not in clean_by_idx:
+            continue
+        adv_pc, _, _ = adv_ds[adv_ds.files.index(path)]
+        clean = clean_by_idx[inst]
+        cds.append(float(L.chamfer_loss(adv_pc[None], clean[None])[0]))
+        hds.append(float(L.hausdorff_loss(adv_pc[None], clean[None])[0]))
+    metrics = {
+        "success_rate_percent": success_rate,
+        "num_successful": len(adv_ds),
+        "mean_chamfer": float(np.mean(cds)) if cds else None,
+        "mean_hausdorff": float(np.mean(hds)) if hds else None,
+    }
+    with open(os.path.join(saved_dir, "attack_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print("attack metrics:", metrics)
 
 
 if __name__ == "__main__":
