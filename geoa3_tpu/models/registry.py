@@ -37,15 +37,29 @@ def init_variables(model, key: jax.Array, n: int = 1024) -> dict:
     return model.init({"params": key}, dummy, train=False)
 
 
-def make_eval_fn(model, variables: dict) -> Callable[[jax.Array], jax.Array]:
+def make_eval_fn(
+    model, variables: dict, dtype=None
+) -> Callable[[jax.Array], jax.Array]:
     """Return logits_fn(pc [b, n, 3]) -> [b, classes] in eval mode.
 
     BatchNorm running stats are baked in as constants (the attack only ever
     sees the victim in eval mode, reference main_attack.py:146).
+    `dtype=jnp.bfloat16` runs the victim matmuls in bf16 (logits returned in
+    f32) — an opt-in speed/precision trade for attack throughput.
     """
+    if dtype is not None:
+        variables = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            variables,
+        )
 
     def logits_fn(pc: jax.Array) -> jax.Array:
-        return model.apply(variables, pc, train=False)
+        if dtype is not None:
+            pc = pc.astype(dtype)
+        out = model.apply(variables, pc, train=False)
+        return out.astype(jnp.float32) if dtype is not None else out
 
     return logits_fn
 

@@ -289,3 +289,43 @@ class TestLazyKnnRefresh:
         b = np.asarray(r_lazy.all_loss)
         denom = np.abs(a).mean() + 1e-6
         assert np.abs(a - b).mean() / denom < 0.2
+
+
+class TestPointNetPPVictim:
+    @pytest.mark.slow
+    def test_attack_runs_against_pnpp(self, rng):
+        """The compiled attack must work with a PointNet++ victim (FPS + ball
+        query + grouping inside grad)."""
+        import jax.numpy as jnp
+
+        from geoa3_tpu.models.registry import build_model, make_eval_fn
+
+        model = build_model("PointNetPP", classes=40, npoint=256)
+        pc = rng.randn(2, 256, 3).astype(np.float32) * 0.5
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(pc), train=False
+        )
+        logits_fn = make_eval_fn(model, variables)
+        gt = np.argmax(np.asarray(logits_fn(jnp.asarray(pc))), -1).astype(np.int32)
+        normal = rng.randn(2, 256, 3).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=40, npoint=256,
+            binary_max_steps=1, iter_max_steps=3, curv_loss_knn=4,
+        )
+        res = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(res.all_loss)).all()
+
+    def test_bf16_eval_fn(self, rng):
+        import jax.numpy as jnp
+
+        from geoa3_tpu.models.registry import build_model, make_eval_fn
+
+        model = build_model("PointNet", classes=10, npoint=32)
+        pc = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
+        f32 = np.asarray(make_eval_fn(model, variables)(pc))
+        bf16 = np.asarray(make_eval_fn(model, variables, dtype=jnp.bfloat16)(pc))
+        assert bf16.dtype == np.float32
+        # same prediction, looser logits
+        assert (f32.argmax(-1) == bf16.argmax(-1)).all()
