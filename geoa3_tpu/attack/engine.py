@@ -121,20 +121,18 @@ def forward_losses(
         or cfg.curv_loss_weight != 0
     )
     if need_a2o:
-        adv_sg = jax.lax.stop_gradient(input_curr)
-        ori_sg = jax.lax.stop_gradient(pc_ori)
-        D = ops.pairwise_sqdist(adv_sg, ori_sg)  # [b, n_adv, n_ori], one matmul
-        a2o_idx = jax.lax.stop_gradient(jnp.argmin(D, axis=-1))  # [b, n_adv]
+        # both 1-NN directions from ONE fused distance pass (the [n, m]
+        # matrix never hits HBM on TPU); o2a is only consumed by two-sided CD
+        a2o_idx, o2a_idx = ops.nn1_dual(input_curr, pc_ori)
         # differentiable squared 1-NN distances, shared by CD / HD
-        a2o_nn = jnp.take_along_axis(pc_ori, a2o_idx[..., None], axis=1)
+        a2o_nn = jnp.take_along_axis(pc_ori, a2o_idx[..., None].astype(jnp.int32), axis=1)
         d_a2o = jnp.sum((input_curr - a2o_nn) ** 2, axis=-1)  # [b, n_adv]
 
     if cfg.dis_loss_type == "CD":
         if cfg.is_cd_single_side:
             dis_loss = d_a2o.mean(axis=-1)
         else:
-            o2a_idx = jax.lax.stop_gradient(jnp.argmin(D, axis=-2))  # [b, n_ori]
-            o2a_nn = jnp.take_along_axis(input_curr, o2a_idx[..., None], axis=1)
+            o2a_nn = jnp.take_along_axis(input_curr, o2a_idx[..., None].astype(jnp.int32), axis=1)
             d_o2a = jnp.sum((pc_ori - o2a_nn) ** 2, axis=-1)
             dis_loss = d_a2o.mean(axis=-1) + d_o2a.mean(axis=-1)
         constrain = cfg.dis_loss_weight * dis_loss

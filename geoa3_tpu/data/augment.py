@@ -137,9 +137,21 @@ def rotate_perturbation_point_cloud_with_normal(
 def rotate_point_cloud_by_angle(
     batch_data: np.ndarray, rotation_angle: float
 ) -> np.ndarray:
-    """Fixed-angle Y rotation (reference provider.py:132-151)."""
+    """Fixed-angle Y rotation (reference provider.py:133-151)."""
     angles = np.full(batch_data.shape[0], rotation_angle)
     return _rotate(batch_data, _y_rotation(angles))
+
+
+def rotate_point_cloud_by_angle_with_normal(
+    batch_data: np.ndarray, rotation_angle: float
+) -> np.ndarray:
+    """Fixed-angle Y rotation of [B, N, 6] xyz+normal (reference :152-174)."""
+    angles = np.full(batch_data.shape[0], rotation_angle)
+    mats = _y_rotation(angles)
+    out = batch_data.copy()
+    out[..., 0:3] = _rotate(batch_data[..., 0:3], mats)
+    out[..., 3:6] = _rotate(batch_data[..., 3:6], mats)
+    return out
 
 
 def jitter_point_cloud(

@@ -13,6 +13,7 @@ from geoa3_tpu.ops.knn import (
     knn_points,
     knn_points_planes,
     knn_gather,
+    nn1_dual,
 )
 from geoa3_tpu.ops.sampling import (
     furthest_point_sampling,
@@ -32,6 +33,7 @@ __all__ = [
     "knn_points",
     "knn_points_planes",
     "knn_gather",
+    "nn1_dual",
     "furthest_point_sampling",
     "farthest_points_sample",
     "farthest_points_sample_with_normal",

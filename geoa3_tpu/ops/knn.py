@@ -96,6 +96,28 @@ def _plane_gather_bwd(res, ct):
 _plane_gather.defvjp(_plane_gather_fwd, _plane_gather_bwd)
 
 
+def nn1_dual(adv: jax.Array, ori: jax.Array):
+    """Both 1-NN directions at once: (a2o_idx [b, n], o2a_idx [b, m]).
+
+    One fused Pallas pass on TPU (the distance matrix never hits HBM);
+    pairwise + two argmins elsewhere. Non-differentiable (indices).
+    """
+    adv = jax.lax.stop_gradient(adv)
+    ori = jax.lax.stop_gradient(ori)
+    m = ori.shape[-2]
+    n = adv.shape[-2]
+    if _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
+
+        rb = 256 if n % 256 == 0 else n
+        return nn1_dual_pallas(adv, ori, row_block=rb)
+    d = pairwise_sqdist(adv, ori)
+    return (
+        jnp.argmin(d, axis=-1).astype(jnp.int32),
+        jnp.argmin(d, axis=-2).astype(jnp.int32),
+    )
+
+
 class KNNPlanes(NamedTuple):
     """kNN result in coordinate-plane form: TPU-friendly [b, n, k] tensors.
 

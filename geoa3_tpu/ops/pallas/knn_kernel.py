@@ -71,11 +71,15 @@ def _knn_kernel(q_ref, p_ref, dist_ref, idx_ref, x_ref, y_ref, z_ref, *, k: int)
 
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # [R, 1]
     p2 = jnp.sum(p * p, axis=-1)[None, :]  # [1, m]
+    # HIGHEST: Mosaic lowers default-precision f32 dots to one bf16 pass,
+    # which can flip near-tie neighbour choices; the contraction dim is 3 so
+    # the full-precision passes are free
     qp = jax.lax.dot_general(
         q,
         p,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [R, m]
     d = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
 

@@ -54,7 +54,7 @@ aargs = ap().parse_args([
     "--attack", "GeoA3", "--attack_label", "Untarget",
     "--data_dir_file", mat_path, "--npoint", "1024",
     "--binary_max_steps", "10", "--iter_max_steps", "500",
-    "-b", "50",
+    "-b", "25",
     "--checkpoint", "Pretrained/PointNet/1024",
 ])
 saved_dir = attack_main(aargs)

@@ -128,3 +128,16 @@ class TestScatterKernel:
         np.testing.assert_allclose(
             np.asarray(g), counts[..., None].repeat(3, -1), atol=1e-5
         )
+
+
+class TestNN1DualKernel:
+    def test_matches_argmin(self, rng):
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
+
+        adv = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            a2o, o2a = nn1_dual_pallas(adv, ori, row_block=32)
+        d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
+        np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
