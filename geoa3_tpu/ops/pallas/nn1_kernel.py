@@ -26,8 +26,10 @@ _INF = 3.4e38
 def _nn1_dual_kernel(
     adv_ref, ori_ref, a2o_ref, o2a_min_ref, o2a_idx_ref, *, R: int
 ):
-    """adv_ref [1, R, 3]; ori_ref [1, m, 3]; a2o_ref [1, R] int32;
-    o2a_min_ref [1, m] f32 / o2a_idx_ref [1, m] int32 (revisited)."""
+    """adv_ref [1, R, 3]; ori_ref [1, m, 3]; a2o_ref [1, 1, R] int32;
+    o2a_min_ref [1, 1, m] f32 / o2a_idx_ref [1, 1, m] int32 (revisited).
+    Outputs carry a singleton middle dim so the (sublane, lane) block dims
+    satisfy Mosaic's (8, 128)-divisibility rule for any batch size."""
     j = pl.program_id(1)
     q = adv_ref[0]  # [R, 3] — this adv row block
     p = ori_ref[0]  # [m, 3]
@@ -46,7 +48,7 @@ def _nn1_dual_kernel(
     # ---- adv -> ori: plain row argmin (lowest index on ties) ----
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
     rmin = jnp.min(d, axis=1)
-    a2o_ref[0] = jnp.min(
+    a2o_ref[0, 0] = jnp.min(
         jnp.where(d == rmin[:, None], col, m), axis=1
     ).astype(jnp.int32)
 
@@ -57,17 +59,17 @@ def _nn1_dual_kernel(
 
     @pl.when(j == 0)
     def _init():
-        o2a_min_ref[0] = cmin
-        o2a_idx_ref[0] = cidx.astype(jnp.int32)
+        o2a_min_ref[0, 0] = cmin
+        o2a_idx_ref[0, 0] = cidx.astype(jnp.int32)
 
     @pl.when(j > 0)
     def _fold():
-        prev_min = o2a_min_ref[0]
-        prev_idx = o2a_idx_ref[0]
+        prev_min = o2a_min_ref[0, 0]
+        prev_idx = o2a_idx_ref[0, 0]
         # strictly-less keeps the earliest (lowest-index) argmin on ties
         better = cmin < prev_min
-        o2a_min_ref[0] = jnp.where(better, cmin, prev_min)
-        o2a_idx_ref[0] = jnp.where(better, cidx.astype(jnp.int32), prev_idx)
+        o2a_min_ref[0, 0] = jnp.where(better, cmin, prev_min)
+        o2a_idx_ref[0, 0] = jnp.where(better, cidx.astype(jnp.int32), prev_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block",))
@@ -91,14 +93,14 @@ def nn1_dual_pallas(adv: jax.Array, ori: jax.Array, row_block: int = 256):
             pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, R), lambda i, j: (i, j)),
-            pl.BlockSpec((1, m), lambda i, j: (i, 0)),  # revisited
-            pl.BlockSpec((1, m), lambda i, j: (i, 0)),  # revisited
+            pl.BlockSpec((1, 1, R), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0)),  # revisited
+            pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0)),  # revisited
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n), jnp.int32),
-            jax.ShapeDtypeStruct((b, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
         ],
     )(adv.astype(jnp.float32), ori.astype(jnp.float32))
-    return a2o, o2a
+    return a2o[:, 0], o2a[:, 0]
