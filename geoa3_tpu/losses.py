@@ -20,8 +20,6 @@ Semantics notes (kept bit-faithful to the reference):
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

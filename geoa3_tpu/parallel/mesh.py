@@ -15,7 +15,7 @@ Everything here is GSPMD: annotate shardings, jit, let XLA place collectives.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
