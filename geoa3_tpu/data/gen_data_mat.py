@@ -111,6 +111,10 @@ def distill_attack_set(
     rng = np.random.RandomState(seed)
     per_class: Dict[int, list] = {c: [] for c in whitelist}
 
+    # collect whitelisted candidates, classify in fixed-size batches (one
+    # compiled program; per-instance device calls would pay the host round
+    # trip 500x)
+    cand: list = []
     for pc, normal, label in iter_instances:
         if label not in whitelist:
             continue
@@ -119,9 +123,20 @@ def distill_attack_set(
         if axis_swap:
             pc = pc[:, [0, 2, 1]]
             normal = normal[:, [0, 2, 1]]
-        pred = int(np.argmax(logits_fn(pc[None]), axis=-1)[0])
-        if pred == label:
-            per_class[label].append((pc, normal))
+        cand.append((pc, normal, label))
+
+    bs = 64
+    for start in range(0, len(cand), bs):
+        chunk = cand[start : start + bs]
+        pcs = np.stack([c[0] for c in chunk])
+        if len(chunk) < bs:  # pad to reuse the compiled program
+            pcs = np.concatenate(
+                [pcs, np.repeat(pcs[:1], bs - len(chunk), 0)], 0
+            )
+        preds = np.argmax(logits_fn(pcs), axis=-1)[: len(chunk)]
+        for (pc, normal, label), pred in zip(chunk, preds):
+            if int(pred) == label:
+                per_class[label].append((pc, normal))
 
     data, normals, labels = [], [], []
     for c in sorted(whitelist, key=TEN_LABEL_INDEXES.index):
