@@ -88,23 +88,53 @@ def main(cfg) -> dict:
     num_attack_still_success = 0
     num_drop_point = 0
 
+    # group instances by point count so each group runs as fixed-shape
+    # batches through ONE compiled defend+classify program (per-instance
+    # device calls would pay the host round trip per cloud)
+    by_n: dict = {}
     for i in range(len(dataset)):
         adv_pc, gt_label, attack_label = dataset[i]
-        cnt += 1
-        pc = jnp.asarray(adv_pc[None])  # [1, n, 3]
-
-        key, fps_key, drop_key = jax.random.split(key, 3)
-        if pc.shape[1] > cfg.npoint:
-            pc = farthest_points_sample(pc, cfg.npoint, fps_key)
-
-        res = gdef.point_removal(
-            pc, cfg.defense_type, cfg.drop_num, cfg.alpha, cfg.outlier_knn,
-            key=drop_key,
+        by_n.setdefault(adv_pc.shape[0], []).append(
+            (i, adv_pc, gt_label, attack_label)
         )
-        logits = classify(res.pc, res.keep_mask)
-        pred = int(jnp.argmax(logits, -1)[0])
-        num = int(res.num_dropped[0])
 
+    BS = 32
+    results = {}
+    for n_pts, items in sorted(by_n.items()):
+        for start in range(0, len(items), BS):
+            chunk = items[start : start + BS]
+            pcs = np.stack([c[1] for c in chunk])
+            pad = BS - len(chunk)
+            if pad:
+                pcs = np.concatenate([pcs, np.repeat(pcs[:1], pad, 0)], 0)
+            pc = jnp.asarray(pcs)
+            key, fps_key, drop_key = jax.random.split(key, 3)
+            if pc.shape[1] > cfg.npoint:
+                pc = farthest_points_sample(pc, cfg.npoint, fps_key)
+            res = gdef.point_removal(
+                pc, cfg.defense_type, cfg.drop_num, cfg.alpha,
+                cfg.outlier_knn, key=drop_key,
+            )
+            logits = classify(res.pc, res.keep_mask)
+            preds = np.asarray(jnp.argmax(logits, -1))
+            drops = np.asarray(res.num_dropped)
+            keep_masks = (
+                np.asarray(res.keep_mask) if res.keep_mask is not None else None
+            )
+            defended = np.asarray(res.pc)
+            for j, (i, _, gt_label, attack_label) in enumerate(chunk):
+                results[i] = (
+                    int(preds[j]),
+                    int(drops[j]),
+                    defended[j],
+                    keep_masks[j] if keep_masks is not None else None,
+                    gt_label,
+                    attack_label,
+                )
+
+    for i in sorted(results):
+        pred, num, saved_pc, keep_mask, gt_label, attack_label = results[i]
+        cnt += 1
         if gt_label == attack_label:
             defense_success, attack_still_success = 1, 0
         else:
@@ -115,16 +145,14 @@ def main(cfg) -> dict:
         num_drop_point += num
 
         if cfg.is_record_all or (cfg.is_record_wrong and pred != gt_label):
-            saved_pc = np.asarray(res.pc[0])
-            if res.keep_mask is not None:
-                saved_pc = saved_pc[np.asarray(res.keep_mask[0])]
+            out_pc = saved_pc if keep_mask is None else saved_pc[keep_mask]
             gio.save_point_obj(
                 os.path.join(
                     defensed_dir,
                     f"Gt{gt_label}_record_{i}_attack{attack_label}"
                     f"_defensedGT{pred}.obj",
                 ),
-                saved_pc,
+                out_pc,
             )
 
         if (i + 1) % cfg.print_freq == 0:

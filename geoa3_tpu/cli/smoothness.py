@@ -39,8 +39,9 @@ def main(cfg) -> float:
         src_dir = os.path.join(cfg.datadir, "Mat")
     filenames = sorted(os.listdir(src_dir))
 
-    values = []
-    for i, filename in enumerate(filenames):
+    # load all clouds, then batch fixed-shape groups through one program
+    clouds = []
+    for filename in filenames:
         if cfg.is_not_mat:
             pc = read_xyz(os.path.join(src_dir, filename))
         else:
@@ -52,14 +53,31 @@ def main(cfg) -> float:
             )
             if pc.shape[0] == 3:
                 pc = pc.T
-        s = float(smoothness(jnp.asarray(pc[None]), k=cfg.k, k2=cfg.k2)[0])
-        values.append(s)
-        if (i + 1) % cfg.print_freq == 0:
-            print(
-                "[{0}/{1}]: {2:.4f}({3:.4f})".format(
-                    i + 1, len(filenames), s, float(np.mean(values))
-                )
+        clouds.append(pc)
+
+    values = [0.0] * len(clouds)
+    by_n: dict = {}
+    for i, pc in enumerate(clouds):
+        by_n.setdefault(pc.shape[0], []).append(i)
+    BS = 32
+    for n_pts, idxs in sorted(by_n.items()):
+        for start in range(0, len(idxs), BS):
+            chunk = idxs[start : start + BS]
+            pcs = np.stack([clouds[i] for i in chunk])
+            pad = BS - len(chunk)
+            if pad:
+                pcs = np.concatenate([pcs, np.repeat(pcs[:1], pad, 0)], 0)
+            s_batch = np.asarray(
+                smoothness(jnp.asarray(pcs), k=cfg.k, k2=cfg.k2)
             )
+            for j, i in enumerate(chunk):
+                values[i] = float(s_batch[j])
+    for i in range(0, len(values), cfg.print_freq):
+        print(
+            "[{0}/{1}]: {2:.4f}({3:.4f})".format(
+                i + 1, len(values), values[i], float(np.mean(values[: i + 1]))
+            )
+        )
 
     values = np.asarray(values, np.float32)
     metric_dir = os.path.join(cfg.datadir, "metric")
