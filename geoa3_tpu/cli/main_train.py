@@ -65,6 +65,7 @@ def main(cfg_args) -> dict:
         wd=cfg_args.wd,
         is_aug_data=cfg_args.is_aug_data,
         seed=cfg_args.random_seed,
+        use_tensorboard=cfg_args.is_use_tb,
     )
 
     if cfg_args.datadir.startswith("synthetic"):

@@ -51,6 +51,7 @@ class TrainConfig:
     is_aug_data: bool = False
     seed: int = 0
     axis_swap: bool = True  # the reference's [0, 2, 1] input convention
+    use_tensorboard: bool = False  # reference --is_use_tb (main_train.py:56)
 
 
 class TrainState(NamedTuple):
@@ -234,6 +235,17 @@ def train(
     state = init_state(cfg, init_key)
     eval_step = make_eval_step(cfg)
 
+    tb_writer = None
+    if cfg.use_tensorboard and modeldir:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_dir = os.path.join(modeldir, "TB_event")
+            os.makedirs(tb_dir, exist_ok=True)
+            tb_writer = SummaryWriter(log_dir=tb_dir)
+        except Exception as e:  # tensorboard optional (reference gates it too)
+            log(f"[warn] tensorboard unavailable: {e}")
+
     best_prec, class_prec = 0.0, 0.0
     start_epoch = 1
     if resume:
@@ -278,6 +290,11 @@ def train(
             accs.update(float(metrics["acc"]), len(target))
 
         class_acc, inst_acc = evaluate(cfg, state, test_dataset, eval_step)
+        if tb_writer is not None:
+            tb_writer.add_scalar("Train Loss", losses.avg, epoch)
+            tb_writer.add_scalar("Train Top1", accs.avg, epoch)
+            tb_writer.add_scalar("Test Top1", inst_acc, epoch)
+            tb_writer.add_scalar("Test ClassAcc", class_acc, epoch)
 
         is_best = inst_acc > best_prec or (
             inst_acc == best_prec and class_prec < class_acc
@@ -317,4 +334,6 @@ def train(
                     else "\n"
                 )
 
+    if tb_writer is not None:
+        tb_writer.close()
     return state, {"best_prec": best_prec, "class_prec": class_prec}
