@@ -66,6 +66,9 @@ def main(cfg_args) -> dict:
         is_aug_data=cfg_args.is_aug_data,
         seed=cfg_args.random_seed,
         use_tensorboard=cfg_args.is_use_tb,
+        # the [0,2,1] swap is a ModelNet convention (reference :211); synthetic
+        # shapes carry none, and gen_data_mat's synthetic mode skips it too
+        axis_swap=not cfg_args.datadir.startswith("synthetic"),
     )
 
     if cfg_args.datadir.startswith("synthetic"):
