@@ -208,7 +208,7 @@ def _knn_search(query: jax.Array, points: jax.Array, k: int):
         d = pairwise_sqdist(query, points)
         return jnp.argmin(d, axis=-1)[..., None].astype(jnp.int32), None
     mode = _TOPK_MODE
-    if mode == "auto":
+    if mode in ("auto", "pallas"):
         mode = "pallas" if _pallas_ok(m, k) else "exact"
     if mode == "pallas":
         from geoa3_tpu.ops.pallas.knn_kernel import knn_pallas

@@ -203,3 +203,35 @@ class TestGroupingInterp:
         g = jax.grad(lambda f: ops.three_interpolate(f, idx, w).sum())(feats)
         # feature 0 used by both rows -> grad 2/3 per channel
         np.testing.assert_allclose(np.asarray(g[0, 0]), 2.0 / 3, atol=1e-6)
+
+
+class TestTopkBackends:
+    def test_backend_switching(self, rng):
+        from geoa3_tpu.ops import knn
+
+        q = rng.randn(2, 40, 3).astype(np.float32)
+        p = rng.randn(2, 64, 3).astype(np.float32)
+        want = np.asarray(ops.knn_points(q, p, 5).idx)
+        try:
+            for mode in ("exact", "pallas", "auto", "approx:0.99"):
+                knn.set_topk_backend(mode)
+                assert knn.get_topk_backend().startswith(mode.split(":")[0])
+                got = np.asarray(ops.knn_points(q, p, 5).idx)
+                if mode != "approx:0.99":  # pallas falls back to exact on CPU
+                    np.testing.assert_array_equal(got, want)
+        finally:
+            knn.set_topk_backend("auto")
+
+    def test_unknown_backend_raises(self):
+        from geoa3_tpu.ops import knn
+
+        with pytest.raises(ValueError):
+            knn.set_topk_backend("nonsense")
+
+    def test_nn1_dual_cpu_fallback(self, rng):
+        adv = rng.randn(2, 32, 3).astype(np.float32)
+        ori = rng.randn(2, 48, 3).astype(np.float32)
+        a2o, o2a = ops.nn1_dual(adv, ori)
+        d = ((adv[:, :, None] - ori[:, None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
+        np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
