@@ -76,3 +76,14 @@ class StepTimer:
         dt = time.perf_counter() - self._t0
         self.meter.update(dt)
         return dt
+
+
+def natural_sort(items):
+    """Sort strings with embedded numbers numerically (reference
+    Lib/utility.py:717-720)."""
+    import re
+
+    def convert(text):
+        return int(text) if text.isdigit() else text.lower()
+
+    return sorted(items, key=lambda key: [convert(c) for c in re.split(r"([0-9]+)", key)])
