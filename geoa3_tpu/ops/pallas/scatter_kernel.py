@@ -36,14 +36,25 @@ def _scatter3_kernel(idx_ref, ct_ref, out_ref, *, k: int, n: int):
     acc = jnp.zeros((tm, 3), jnp.float32)
     for j in range(k):
         idx_j = idx_ref[0, j, :][None, :]  # [1, n]
-        onehot = (row_ids == idx_j).astype(jnp.float32)  # [tm, n]
-        ct_j = ct_ref[0, j]  # [3, n]
-        acc = acc + jax.lax.dot_general(
-            onehot,
-            ct_j,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # the one-hot is EXACT in bf16 (0.0/1.0); split the cotangents into
+        # bf16 hi+lo parts so two single-pass bf16 MXU matmuls reach ~2^-16
+        # relative accuracy instead of the 6-pass f32-emulation of
+        # precision=HIGHEST (~3x the MXU time for gradient bits Adam ignores)
+        onehot = (row_ids == idx_j).astype(jnp.bfloat16)  # [tm, n]
+        ct_j = ct_ref[0, j]  # [3, n] f32
+        hi = ct_j.astype(jnp.bfloat16)
+        lo = (ct_j - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        acc = (
+            acc
+            + jax.lax.dot_general(
+                onehot, hi, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                onehot, lo, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
         )
     out_ref[0] = acc
 
