@@ -15,13 +15,22 @@ import jax.numpy as jnp
 from geoa3_tpu.ops.knn import knn_points
 
 
+@jax.custom_vjp
 def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     """features [b, n, c], idx [b, m, ns] -> [b, m, ns, c].
 
     Equivalent of `grouping_operation` (reference: group_points_gpu.cu:8-75).
-    One flat `take` over the collapsed batch — ~2x faster than the
-    take_along_axis lowering on TPU for small-c rows.
+    Forward: one flat `take` over the collapsed batch (~2x faster than the
+    take_along_axis lowering on TPU for small-c rows). Backward: the Pallas
+    one-hot-matmul scatter on TPU (XLA lowers the scatter-add as sort +
+    segmented reduce, which dominates the PN++ backward), XLA scatter
+    elsewhere — mirroring the reference's hand-written atomicAdd kernel
+    (group_points_gpu.cu:43-75).
     """
+    return _group_points_fwd_impl(features, idx)
+
+
+def _group_points_fwd_impl(features, idx):
     b, m, ns = idx.shape
     n, c = features.shape[-2:]
     flat = (
@@ -30,6 +39,36 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     ).reshape(-1)
     out = jnp.take(features.reshape(b * n, c), flat, axis=0)
     return out.reshape(b, m, ns, c)
+
+
+def _group_points_fwd(features, idx):
+    return _group_points_fwd_impl(features, idx), (
+        idx, jax.lax.stop_gradient(features)
+    )
+
+
+def _group_points_bwd(res, ct):
+    idx, features = res
+    b, n, c = features.shape
+    m, ns = idx.shape[1:]
+    from geoa3_tpu.ops.knn import _pallas_ok
+
+    if _pallas_ok(n, 2) and n % 256 == 0 and c <= 512:
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_nc_pallas
+
+        g = scatter_add_nc_pallas(
+            idx.reshape(b, m * ns), ct.reshape(b, m * ns, c), n
+        ).astype(features.dtype)
+    else:
+        g = (
+            jnp.zeros_like(features)
+            .at[jnp.arange(b)[:, None], idx.reshape(b, m * ns)]
+            .add(ct.reshape(b, m * ns, c))
+        )
+    return g, None
+
+
+group_points.defvjp(_group_points_fwd, _group_points_bwd)
 
 
 def three_nn(unknown: jax.Array, known: jax.Array) -> tuple[jax.Array, jax.Array]:

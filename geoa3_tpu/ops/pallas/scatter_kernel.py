@@ -82,3 +82,74 @@ def scatter_add_pallas(
         out_specs=pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
     )(idx_t, ct_t.astype(jnp.float32))
+
+
+def _scatter_nc_kernel(idx_ref, ct_ref, out_ref, *, sc: int):
+    """Generalised C-channel scatter, one (m-block, source-chunk) grid cell:
+    idx_ref [1, 1, sc] int32; ct_ref [1, sc, C] f32; out_ref [1, TM, C]
+    (revisited across the source-chunk grid dim; TPU grids are sequential)."""
+    tm, C = out_ref.shape[1], out_ref.shape[2]
+    m_start = pl.program_id(1) * tm
+    ci = pl.program_id(2)
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (tm, sc), 0) + m_start
+    )
+    dn = (((1,), (0,)), ((), ()))
+    idx_c = idx_ref[0, 0, :][None, :]  # [1, sc]
+    onehot = (row_ids == idx_c).astype(jnp.bfloat16)  # [tm, sc]
+    ct_c = ct_ref[0]  # [sc, C]
+    hi = ct_c.astype(jnp.bfloat16)
+    lo = (ct_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    contrib = jax.lax.dot_general(
+        onehot, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        onehot, lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ci == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(ci > 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("m", "m_block", "src_chunk"))
+def scatter_add_nc_pallas(
+    idx: jax.Array,
+    ct: jax.Array,
+    m: int,
+    m_block: int = 256,
+    src_chunk: int = 1024,
+) -> jax.Array:
+    """C-channel scatter-add: idx [b, S], ct [b, S, C] -> [b, m, C] with
+    out[b, idx[b, s]] += ct[b, s]. Used for the grouping-gather backward
+    ([b, npoint, nsample, C] cotangents in PointNet++)."""
+    b, S = idx.shape
+    C = ct.shape[-1]
+    s_pad = (-S) % src_chunk
+    if s_pad:
+        # pad with out-of-range indices (contribute to no row)
+        idx = jnp.concatenate(
+            [idx, jnp.full((b, s_pad), m, idx.dtype)], axis=1
+        )
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((b, s_pad, C), ct.dtype)], axis=1
+        )
+        S += s_pad
+    tm = min(m_block, m)
+    assert m % tm == 0, "m must divide by m_block"
+    chunks = S // src_chunk
+    grid = (b, m // tm, chunks)
+
+    return pl.pallas_call(
+        functools.partial(_scatter_nc_kernel, sc=src_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, src_chunk), lambda i, j, ci: (i, 0, ci)),
+            pl.BlockSpec((1, src_chunk, C), lambda i, j, ci: (i, ci, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda i, j, ci: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m, C), jnp.float32),
+    )(idx[:, None, :], ct.astype(jnp.float32))

@@ -141,3 +141,33 @@ class TestNN1DualKernel:
         d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
         np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
         np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
+
+
+class TestScatterNC:
+    def test_nc_scatter_matches_xla(self, rng):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_nc_pallas
+
+        b, S, C, m = 2, 200, 7, 256
+        idx = jnp.asarray(rng.randint(0, m, (b, S)), jnp.int32)
+        ct = jnp.asarray(rng.randn(b, S, C).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = scatter_add_nc_pallas(idx, ct, m, src_chunk=64)
+        want = (
+            jnp.zeros((b, m, C)).at[jnp.arange(b)[:, None], idx].add(ct)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2
+        )
+
+    def test_group_points_grad_matches_reference_counts(self, rng):
+        from geoa3_tpu import ops
+
+        feats = jnp.asarray(rng.randn(1, 16, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 16, (1, 5, 3)), jnp.int32)
+        g = jax.grad(lambda f: ops.group_points(f, idx).sum())(feats)
+        counts = np.zeros((1, 16))
+        for i in np.asarray(idx).reshape(-1):
+            counts[0, i] += 1
+        np.testing.assert_allclose(
+            np.asarray(g), counts[..., None].repeat(4, -1), atol=1e-5
+        )
