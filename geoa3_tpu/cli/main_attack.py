@@ -281,13 +281,33 @@ def main(args) -> str:
             target = np.concatenate([target, target[:1].repeat(pad, 0)], 0)
 
         key, atk_key, fps_key = jax.random.split(key, 3)
-        res = attack_fn(
-            jnp.asarray(pc),
-            jnp.asarray(normal),
-            jnp.asarray(gt),
-            jnp.asarray(target),
-            atk_key,
-        )
+        # the attack program runs minutes per batch; survive transient TPU
+        # worker restarts by retrying the batch
+        for attempt in range(3):
+            try:
+                res = attack_fn(
+                    jnp.asarray(pc),
+                    jnp.asarray(normal),
+                    jnp.asarray(gt),
+                    jnp.asarray(target),
+                    atk_key,
+                )
+                jax.block_until_ready(res.best_attack)
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError on restarts
+                if attempt == 2:
+                    raise
+                print(f"[warn] attack batch failed ({e}); retrying "
+                      f"({attempt + 1}/3)", flush=True)
+                time.sleep(30)
+                jax.clear_caches()
+                attack_fn = (
+                    parallel.make_sharded_attack_fn(
+                        logits_fn, cfg, parallel.make_mesh()
+                    )
+                    if args.mesh_data_parallel
+                    else jax.jit(make_attack_fn(logits_fn, cfg))
+                )
         adv_pc = np.asarray(res.best_attack)[:b]
         succ_ind = np.asarray(res.success)[:b]
         best_step = np.asarray(res.best_attack_step)[:b]
