@@ -2,7 +2,10 @@
 
 Replaces (a) the CUDA `pointnet2_ops` extension
 (reference: Model/pointnet2_ops_lib/pointnet2_ops/_ext-src/) and (b) the
-pytorch3d `knn_points`/`knn_gather` dependency used by every loss.
+pytorch3d `knn_points`/`knn_gather` dependency used by every loss. On TPU the
+hot paths run as Pallas kernels (ops/pallas/): fused exact kNN, batch-parallel
+FPS, one-hot-matmul scatter for the gather backwards, and a fused dual 1-NN
+(both chamfer directions in one distance pass).
 
 All ops use channel-last layout ([b, n, 3] points, [b, n, c] features) which
 is the natural TPU layout (channels ride the 128-wide lane dimension).

@@ -2,11 +2,17 @@
 
 The reference leans on pytorch3d's CUDA ``knn_points``/``knn_gather`` for every
 geometric loss and normal estimator (reference: Lib/loss_utils.py:10,
-Lib/utility.py:11, Attacker/geoA3_attack.py:12). Here the distance matrix is
-built as one MXU matmul (||a||^2 + ||b||^2 - 2 a.b^T) and the k smallest
-entries come from ``lax.top_k`` — XLA fuses the row norms into the matmul
-epilogue, so the whole thing is a single HBM pass at the sizes GeoA3 uses
-(n <= 10k).
+Lib/utility.py:11, Attacker/geoA3_attack.py:12). Here:
+
+  * k == 1 -> one MXU distance matmul (||a||^2 + ||b||^2 - 2 a.b^T) + argmin
+    (the memory-bandwidth floor);
+  * k > 1 on TPU -> the fused Pallas kernel (ops/pallas/knn_kernel.py):
+    distance tile in VMEM + k iterations of row-argmin/knockout, emitting
+    exact neighbour coordinates for free (XLA's exact top_k is a full row
+    sort, ~8x slower; its gather of [*, 3] rows another ~4 ms);
+  * neighbour-gather backward -> the Pallas one-hot-matmul scatter
+    (ops/pallas/scatter_kernel.py; XLA lowers scatter-add as sort+reduce);
+  * elsewhere (CPU tests) -> plain XLA top_k + gathers.
 
 Returned distances are **squared** Euclidean distances, matching pytorch3d
 (and therefore every reference loss built on them).

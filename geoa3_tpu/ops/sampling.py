@@ -5,12 +5,12 @@ TPU-native replacement for the reference's CUDA FPS / gather kernels
 and the pure-torch random-start FPS used for resampling
 (reference: Lib/utility.py:175-203).
 
-FPS is inherently sequential over the m selected samples; the TPU program is
-an m-step ``lax.fori_loop`` whose body is one fully-vectorised
-distance-update + masked argmax over all n points — the same O(m*n) work the
-CUDA kernel does, with the running min-distance vector living in registers /
-VMEM across the loop. For PN++ (n=1024, m=512) this is the victim's hot
-sampling path.
+FPS is inherently sequential over the m selected samples. On TPU it runs as
+the batch-parallel Pallas kernel (ops/pallas/fps_kernel.py) with the running
+min-distance state resident in VMEM; elsewhere it is an m-step
+``lax.fori_loop`` of vectorised distance-update + masked argmax — the same
+O(m*n) work the CUDA kernel does. For PN++ (n=1024, m=512) this is the
+victim's hot sampling path.
 """
 
 from __future__ import annotations

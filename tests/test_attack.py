@@ -329,3 +329,28 @@ class TestPointNetPPVictim:
         assert bf16.dtype == np.float32
         # same prediction, looser logits
         assert (f32.argmax(-1) == bf16.argmax(-1)).all()
+
+
+class TestDeterminism:
+    def test_same_key_same_result(self, rng):
+        logits_fn, pc, normal, gt = make_batch(rng)
+        cfg = AttackConfig(attack_label="Untarget", **BASE)
+        r1 = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(9))
+        r2 = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(9))
+        np.testing.assert_array_equal(
+            np.asarray(r1.best_attack), np.asarray(r2.best_attack)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.best_loss), np.asarray(r2.best_loss)
+        )
+
+    def test_different_key_different_init(self, rng):
+        logits_fn, pc, normal, gt = make_batch(rng)
+        kw = dict(BASE)
+        kw.update(binary_max_steps=1, iter_max_steps=3)
+        cfg = AttackConfig(attack_label="Untarget", **kw)
+        r1 = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(1))
+        r2 = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(2))
+        assert np.abs(
+            np.asarray(r1.all_loss) - np.asarray(r2.all_loss)
+        ).sum() > 0
