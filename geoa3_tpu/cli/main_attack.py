@@ -292,7 +292,13 @@ def main(args) -> str:
                     jnp.asarray(target),
                     atk_key,
                 )
-                jax.block_until_ready(res.best_attack)
+                # fetch INSIDE the retry: on this backend block_until_ready
+                # can return before a worker restart surfaces; only a real
+                # host transfer proves the results exist
+                adv_pc = np.asarray(res.best_attack)[:b]
+                succ_ind = np.asarray(res.success)[:b]
+                best_step = np.asarray(res.best_attack_step)[:b]
+                all_loss = np.asarray(res.all_loss)[:, :b]
                 break
             except Exception as e:  # jax.errors.JaxRuntimeError on restarts
                 if attempt == 2:
@@ -308,10 +314,6 @@ def main(args) -> str:
                     if args.mesh_data_parallel
                     else jax.jit(make_attack_fn(logits_fn, cfg))
                 )
-        adv_pc = np.asarray(res.best_attack)[:b]
-        succ_ind = np.asarray(res.success)[:b]
-        best_step = np.asarray(res.best_attack_step)[:b]
-        all_loss = np.asarray(res.all_loss)[:, :b]
         gt, target = gt[:b], target[:b]
 
         if cci is not None:
