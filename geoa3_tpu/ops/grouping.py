@@ -51,9 +51,12 @@ def _group_points_bwd(res, ct):
     idx, features = res
     b, n, c = features.shape
     m, ns = idx.shape[1:]
-    from geoa3_tpu.ops.knn import _pallas_ok
+    from geoa3_tpu.ops.knn import _pallas_disabled, _pallas_ok
 
-    if _pallas_ok(n, 2) and n % 256 == 0 and c <= 512:
+    if (
+        _pallas_ok(n, 2) and n % 256 == 0 and c <= 512
+        and not _pallas_disabled("scatter")
+    ):
         from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_nc_pallas
 
         g = scatter_add_nc_pallas(

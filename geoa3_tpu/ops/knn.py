@@ -60,7 +60,10 @@ def _coords_gather_fwd(points, idx, precomputed):
 def _coords_gather_bwd(res, ct):
     idx, points = res
     b, m, c = points.shape
-    if c == 3 and _pallas_ok(m, idx.shape[-1]) and m % 256 == 0:
+    if (
+        c == 3 and _pallas_ok(m, idx.shape[-1]) and m % 256 == 0
+        and not _pallas_disabled("scatter")
+    ):
         # XLA lowers this scatter-add as sort + segmented reduce (~8 ms at
         # [32,1024,17,3] on v5e); the Pallas one-hot-matmul kernel is ~30%
         # faster and bit-equivalent up to f32 summation order
@@ -112,7 +115,9 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
     ori = jax.lax.stop_gradient(ori)
     m = ori.shape[-2]
     n = adv.shape[-2]
-    if _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
+    if _pallas_disabled("nn1"):
+        pass
+    elif _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
         from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
 
         rb = 256 if n % 256 == 0 else n
@@ -146,7 +151,10 @@ def knn_points_planes(query: jax.Array, points: jax.Array, k: int) -> KNNPlanes:
     q_sg = jax.lax.stop_gradient(query)
     p_sg = jax.lax.stop_gradient(points)
     m = points.shape[-2]
-    if k > 1 and _TOPK_MODE in ("auto", "pallas") and _pallas_ok(m, k):
+    if (
+        k > 1 and _TOPK_MODE in ("auto", "pallas") and _pallas_ok(m, k)
+        and not _pallas_disabled("knn")
+    ):
         from geoa3_tpu.ops.pallas.knn_kernel import knn_pallas_planes
 
         row_block = max(8, min(256, _PALLAS_VMEM_BUDGET // (m * 4) // 8 * 8))
@@ -201,6 +209,15 @@ def get_topk_backend() -> str:
     return _TOPK_MODE if _TOPK_MODE != "approx" else f"approx:{_TOPK_RECALL}"
 
 
+import os as _os
+
+
+def _pallas_disabled(which: str) -> bool:
+    """Kill-switch: GEOA3_DISABLE_PALLAS="knn,nn1,scatter,fps" (or "all")."""
+    flags = _os.environ.get("GEOA3_DISABLE_PALLAS", "")
+    return "all" in flags or which in flags
+
+
 def _pallas_ok(m: int, k: int) -> bool:
     from geoa3_tpu.ops.pallas.knn_kernel import pallas_available
 
@@ -215,7 +232,11 @@ def _knn_search(query: jax.Array, points: jax.Array, k: int):
         return jnp.argmin(d, axis=-1)[..., None].astype(jnp.int32), None
     mode = _TOPK_MODE
     if mode in ("auto", "pallas"):
-        mode = "pallas" if _pallas_ok(m, k) else "exact"
+        mode = (
+            "pallas"
+            if _pallas_ok(m, k) and not _pallas_disabled("knn")
+            else "exact"
+        )
     if mode == "pallas":
         from geoa3_tpu.ops.pallas.knn_kernel import knn_pallas
 

@@ -22,9 +22,10 @@ _INF = 1e10
 
 
 def _use_pallas() -> bool:
+    from geoa3_tpu.ops.knn import _pallas_disabled
     from geoa3_tpu.ops.pallas.knn_kernel import pallas_available
 
-    return pallas_available()
+    return pallas_available() and not _pallas_disabled("fps")
 
 
 def furthest_point_sampling(xyz: jax.Array, npoint: int) -> jax.Array:
