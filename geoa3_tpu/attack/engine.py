@@ -230,6 +230,7 @@ class _Best(NamedTuple):
 def make_attack_fn(
     logits_fn: Callable[[jax.Array], jax.Array],
     cfg: AttackConfig,
+    host_binary_loop: bool = False,
 ) -> Callable[..., AttackResult]:
     """Build the whole-attack program for a fixed config.
 
@@ -238,24 +239,22 @@ def make_attack_fn(
 
         attack_fn(pc_ori [b,n,3], normal_ori [b,n,3],
                   gt_target [b], target [b], key) -> AttackResult
+
+    `host_binary_loop=True` drives the binary search from the host (ONE jitted
+    program per search step, identical math): state stays on device between
+    calls, so the only cost is binary_max_steps dispatches — but each device
+    program is bounded to iter_max_steps, which matters on runtimes that kill
+    long-running executions. Do not wrap the result in an outer jax.jit.
     """
     cfg = cfg.validate()
     targeted = cfg.targeted
 
-    def attack_fn(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
-        if cfg.is_partial_var:
-            return _attack_partial_var(
-                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
-            )
+    def make_binary_step(pc_ori, normal_ori, gt_target, target, kappa_ori):
+        """Returns binary_step(carry, bs_idx) -> (carry, loss_ys); closes over
+        the batch tensors (used inside jit/scan where they are tracers)."""
         b, n, _ = pc_ori.shape
         subsample = cfg.is_subsample_opt and (not cfg.is_partial_var) and (
             n > cfg.npoint
-        )
-
-        kappa_ori = (
-            L.get_kappa_ori(pc_ori, normal_ori, cfg.curv_loss_knn)
-            if cfg.curv_loss_weight != 0
-            else None
         )
         tx = _make_optimizer(cfg)
 
@@ -415,6 +414,10 @@ def make_attack_fn(
             new_const = jnp.where(success, const_success, const_fail)
             return (new_lower, new_upper, new_const, best, key), loss_ys
 
+        return binary_step
+
+    def _init_carry(pc_ori, key):
+        b, n, _ = pc_ori.shape
         lower0 = jnp.zeros((b,), pc_ori.dtype)
         upper0 = jnp.full((b,), _INF, pc_ori.dtype)
         const0 = jnp.full((b,), cfg.initial_const, pc_ori.dtype)
@@ -424,12 +427,14 @@ def make_attack_fn(
             step=jnp.full((b,), -1, jnp.int32),
             bs_idx=jnp.full((b,), -1, jnp.int32),
         )
-        (lower, upper, const, best, _), all_loss = jax.lax.scan(
-            binary_step,
-            (lower0, upper0, const0, best0, key),
-            jnp.arange(cfg.binary_max_steps),
-        )
+        return (lower0, upper0, const0, best0, key)
 
+    def _kappa(pc_ori, normal_ori):
+        if cfg.curv_loss_weight != 0:
+            return L.get_kappa_ori(pc_ori, normal_ori, cfg.curv_loss_knn)
+        return jnp.zeros(pc_ori.shape[:2], pc_ori.dtype)
+
+    def _result(best, target, all_loss):
         return AttackResult(
             best_attack=best.attack,
             target=target,
@@ -437,10 +442,58 @@ def make_attack_fn(
             best_attack_step=best.step,
             best_attack_bs_idx=best.bs_idx,
             best_loss=best.loss,
-            all_loss=all_loss[-1],  # reference returns the last search step's
+            all_loss=all_loss,  # reference returns the last search step's
         )
 
-    return attack_fn
+    def attack_fn(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
+        if cfg.is_partial_var:
+            return _attack_partial_var(
+                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
+            )
+        kappa_ori = _kappa(pc_ori, normal_ori)
+        binary_step = make_binary_step(
+            pc_ori, normal_ori, gt_target, target, kappa_ori
+        )
+        carry, all_loss = jax.lax.scan(
+            binary_step,
+            _init_carry(pc_ori, key),
+            jnp.arange(cfg.binary_max_steps),
+        )
+        return _result(carry[3], target, all_loss[-1])
+
+    if not host_binary_loop:
+        return attack_fn
+
+    # ---- host-driven binary search: one jitted program per search step ----
+    @jax.jit
+    def one_step(pc_ori, normal_ori, gt_target, target, kappa_ori, carry, bs_idx):
+        binary_step = make_binary_step(
+            pc_ori, normal_ori, gt_target, target, kappa_ori
+        )
+        return binary_step(carry, bs_idx)
+
+    kappa_jit = jax.jit(_kappa)
+
+    def attack_fn_host(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
+        if cfg.is_partial_var:
+            return _attack_partial_var(
+                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
+            )
+        pc_ori = jnp.asarray(pc_ori)
+        normal_ori = jnp.asarray(normal_ori)
+        gt_target = jnp.asarray(gt_target)
+        target = jnp.asarray(target)
+        kappa_ori = kappa_jit(pc_ori, normal_ori)
+        carry = _init_carry(pc_ori, key)
+        loss_ys = None
+        for bs_idx in range(cfg.binary_max_steps):
+            carry, loss_ys = one_step(
+                pc_ori, normal_ori, gt_target, target, kappa_ori, carry,
+                jnp.int32(bs_idx),
+            )
+        return _result(carry[3], target, loss_ys)
+
+    return attack_fn_host
 
 
 def _attack_partial_var(

@@ -254,13 +254,17 @@ def main(args) -> str:
 
     # one compiled attack program for the fixed padded batch size
     full_b = args.batch_size * num_attack_classes
-    attack_fn = (
-        parallel.make_sharded_attack_fn(
-            logits_fn, cfg, parallel.make_mesh()
-        )
-        if args.mesh_data_parallel
-        else jax.jit(make_attack_fn(logits_fn, cfg))
-    )
+    def build_attack_fn():
+        if args.mesh_data_parallel:
+            return parallel.make_sharded_attack_fn(
+                logits_fn, cfg, parallel.make_mesh()
+            )
+        # host-driven binary search: one device program per search step,
+        # bounding execution time per program (long-running executions are
+        # unreliable on tunnelled TPU runtimes)
+        return make_attack_fn(logits_fn, cfg, host_binary_loop=True)
+
+    attack_fn = build_attack_fn()
 
     num_attack_success = 0
     cnt_ins = dataset.start_index
@@ -307,13 +311,7 @@ def main(args) -> str:
                       f"({attempt + 1}/3)", flush=True)
                 time.sleep(30)
                 jax.clear_caches()
-                attack_fn = (
-                    parallel.make_sharded_attack_fn(
-                        logits_fn, cfg, parallel.make_mesh()
-                    )
-                    if args.mesh_data_parallel
-                    else jax.jit(make_attack_fn(logits_fn, cfg))
-                )
+                attack_fn = build_attack_fn()
         gt, target = gt[:b], target[:b]
 
         if cci is not None:

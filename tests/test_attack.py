@@ -354,3 +354,32 @@ class TestDeterminism:
         assert np.abs(
             np.asarray(r1.all_loss) - np.asarray(r2.all_loss)
         ).sum() > 0
+
+
+class TestHostBinaryLoop:
+    def test_host_loop_matches_device_loop(self, rng):
+        """host_binary_loop drives the same compiled math step-by-step."""
+        from geoa3_tpu.attack.engine import make_attack_fn
+
+        logits_fn, pc, normal, gt = make_batch(rng)
+        cfg = AttackConfig(attack_label="Untarget", **BASE)
+        key = jax.random.PRNGKey(5)
+        dev = jax.jit(make_attack_fn(logits_fn, cfg))(
+            jnp.asarray(pc), jnp.asarray(normal), jnp.asarray(gt),
+            jnp.asarray(gt), key,
+        )
+        host = make_attack_fn(logits_fn, cfg, host_binary_loop=True)(
+            pc, normal, gt, gt, key
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev.best_loss), np.asarray(host.best_loss), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dev.success), np.asarray(host.success)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev.best_attack), np.asarray(host.best_attack), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev.all_loss), np.asarray(host.all_loss), rtol=1e-4
+        )
