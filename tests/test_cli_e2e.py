@@ -168,3 +168,44 @@ def test_eval_mode_no_attack(workdir, trained_victim):
     )
     saved_dir = attack_main(aargs)
     assert "Evaluating_0" in saved_dir
+
+
+def test_attack_with_save_normal(workdir, trained_victim):
+    """--is_save_normal estimates normals against a dense cloud and stores
+    them in the per-instance .mat (reference main_attack.py:241-247,269-271)."""
+    import scipy.io as sio
+
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+    from geoa3_tpu.data.synthetic import make_synthetic_attack_set
+
+    modeldir, _ = trained_victim
+    # small attack set + a denser twin (same instances, more points)
+    d = make_synthetic_attack_set(num_per_class=1, npoint=64, classes=2, seed=7)
+    sio.savemat("Data/sn_set.mat", d)
+    dense = make_synthetic_attack_set(num_per_class=1, npoint=128, classes=2, seed=7)
+    sio.savemat("Data/sn_dense.mat", dense)
+
+    aargs = ap().parse_args(
+        [
+            "--attack", "GeoA3",
+            "--attack_label", "Untarget",
+            "--data_dir_file", "Data/sn_set.mat",
+            "--dense_data_dir_file", "Data/sn_dense.mat",
+            "--is_save_normal",
+            "--npoint", "64",
+            "--binary_max_steps", "1",
+            "--iter_max_steps", "15",
+            "--curv_loss_knn", "4",
+            "-b", "2",
+            "--checkpoint", modeldir,
+            "--id", "2",
+        ]
+    )
+    saved_dir = attack_main(aargs)
+    mats = os.listdir(os.path.join(saved_dir, "Mat"))
+    if mats:  # normals stored for every success
+        m = sio.loadmat(os.path.join(saved_dir, "Mat", mats[0]))
+        assert "est_normal" in m
+        assert m["est_normal"].shape == m["adversary_point_clouds"].shape
+        norms = np.linalg.norm(m["est_normal"].T, axis=1)
+        assert (norms > 0.5).all() and (norms < 1.5).all()
