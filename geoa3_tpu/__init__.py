@@ -20,3 +20,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level surface
+from geoa3_tpu.attack import AttackConfig, attack, make_attack_fn  # noqa: E402
+from geoa3_tpu.models import build_model, make_eval_fn  # noqa: E402
+
+__all__ = [
+    "AttackConfig",
+    "attack",
+    "make_attack_fn",
+    "build_model",
+    "make_eval_fn",
+]
