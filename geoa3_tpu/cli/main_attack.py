@@ -130,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the attack batch over all local devices",
     )
     parser.add_argument("--exps_root", default="Exps", type=str)
+    parser.add_argument(
+        "--batch_timeout", default=0, type=int,
+        help="seconds before a hung attack batch is abandoned and retried "
+        "(0 = off); tunnelled TPU runtimes can hang instead of erroring",
+    )
     return parser
 
 
@@ -287,22 +292,37 @@ def main(args) -> str:
         key, atk_key, fps_key = jax.random.split(key, 3)
         # the attack program runs minutes per batch; survive transient TPU
         # worker restarts by retrying the batch
+        def run_batch():
+            res = attack_fn(
+                jnp.asarray(pc),
+                jnp.asarray(normal),
+                jnp.asarray(gt),
+                jnp.asarray(target),
+                atk_key,
+            )
+            # fetch INSIDE the retry: on this backend block_until_ready
+            # can return before a worker restart surfaces; only a real
+            # host transfer proves the results exist
+            return (
+                np.asarray(res.best_attack)[:b],
+                np.asarray(res.success)[:b],
+                np.asarray(res.best_attack_step)[:b],
+                np.asarray(res.all_loss)[:, :b],
+            )
+
         for attempt in range(3):
             try:
-                res = attack_fn(
-                    jnp.asarray(pc),
-                    jnp.asarray(normal),
-                    jnp.asarray(gt),
-                    jnp.asarray(target),
-                    atk_key,
-                )
-                # fetch INSIDE the retry: on this backend block_until_ready
-                # can return before a worker restart surfaces; only a real
-                # host transfer proves the results exist
-                adv_pc = np.asarray(res.best_attack)[:b]
-                succ_ind = np.asarray(res.success)[:b]
-                best_step = np.asarray(res.best_attack_step)[:b]
-                all_loss = np.asarray(res.all_loss)[:, :b]
+                if args.batch_timeout > 0:
+                    import concurrent.futures as cf
+
+                    ex = cf.ThreadPoolExecutor(1)
+                    out = ex.submit(run_batch).result(
+                        timeout=args.batch_timeout
+                    )
+                    ex.shutdown(wait=False)
+                else:
+                    out = run_batch()
+                adv_pc, succ_ind, best_step, all_loss = out
                 break
             except Exception as e:  # jax.errors.JaxRuntimeError on restarts
                 if attempt == 2:
