@@ -165,6 +165,169 @@ class TestPointNetPP:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+def _np_ball_query_fast(radius, nsample, xyz, new_xyz):
+    """Vectorised CUDA ball-query semantics (ball_query_gpu.cu:9-54).
+
+    First `nsample` in-radius hits in index order; all slots pre-filled with
+    the first hit; all-miss rows stay 0. Equivalent to test_ops.np_ball_query
+    (checked by test_fast_ball_query_oracle_matches_slow).
+    """
+    b, m, _ = new_xyz.shape
+    n = xyz.shape[1]
+    d2 = ((new_xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
+    hit = d2 < radius * radius
+    rank = np.cumsum(hit, axis=-1) - 1
+    first = np.argmax(hit, axis=-1)
+    out = np.broadcast_to(first[..., None], (b, m, nsample)).copy()
+    for s in range(nsample):
+        sel = hit & (rank == s)
+        has = sel.any(-1)
+        out[..., s] = np.where(has, np.argmax(sel, axis=-1), out[..., s])
+    return out.astype(np.int64)
+
+
+def _install_ext_stub(torch):
+    """Pre-register a CPU `pointnet2_ops._ext` built on the numpy oracles.
+
+    The reference JIT-compiles a CUDA extension (pointnet2_utils.py:7-31);
+    stubbing `_ext` with exact-semantics CPU ops lets the real reference
+    PN++ torch model run here as a logits-parity oracle.
+    """
+    import test_ops as oracles
+
+    ext = types.ModuleType("pointnet2_ops._ext")
+
+    def furthest_point_sampling(xyz, npoint):
+        idx = oracles.np_fps_cuda(xyz.detach().cpu().numpy(), npoint)
+        return torch.from_numpy(idx.astype(np.int32))
+
+    def gather_points(features, idx):
+        f = features.detach().cpu().numpy()
+        i = idx.detach().cpu().numpy().astype(np.int64)
+        b, c, _ = f.shape
+        out = np.take_along_axis(f, i[:, None, :], axis=2)
+        return torch.from_numpy(np.ascontiguousarray(out))
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        out = _np_ball_query_fast(
+            radius,
+            nsample,
+            xyz.detach().cpu().numpy(),
+            new_xyz.detach().cpu().numpy(),
+        )
+        return torch.from_numpy(out.astype(np.int32))
+
+    def group_points(features, idx):
+        f = features.detach().cpu().numpy()
+        i = idx.detach().cpu().numpy().astype(np.int64)
+        b, c, _ = f.shape
+        _, npt, ns = i.shape
+        out = np.take_along_axis(f, i.reshape(b, 1, npt * ns), axis=2)
+        return torch.from_numpy(
+            np.ascontiguousarray(out.reshape(b, c, npt, ns))
+        )
+
+    def three_nn(unknown, known):
+        d2, i = oracles.np_knn(
+            unknown.detach().cpu().numpy(), known.detach().cpu().numpy(), 3
+        )
+        return (
+            torch.from_numpy(d2.astype(np.float32)),
+            torch.from_numpy(i.astype(np.int32)),
+        )
+
+    def three_interpolate(features, idx, weight):
+        f = features.detach().cpu().numpy()
+        i = idx.detach().cpu().numpy().astype(np.int64)
+        w = weight.detach().cpu().numpy()
+        b, c, _ = f.shape
+        _, n, _ = i.shape
+        g = np.take_along_axis(f, i.reshape(b, 1, n * 3), axis=2)
+        g = g.reshape(b, c, n, 3)
+        out = (g * w[:, None, :, :]).sum(-1)
+        return torch.from_numpy(np.ascontiguousarray(out.astype(np.float32)))
+
+    ext.furthest_point_sampling = furthest_point_sampling
+    ext.gather_points = gather_points
+    ext.ball_query = ball_query
+    ext.group_points = group_points
+    ext.three_nn = three_nn
+    ext.three_interpolate = three_interpolate
+    sys.modules["pointnet2_ops._ext"] = ext
+
+
+def _load_reference_pnpp():
+    """Import the reference torch PN++ SSG/MSG with a CPU `_ext` stub."""
+    if not os.path.isdir(os.path.join(REFERENCE, "Model")):
+        pytest.skip("reference repo not available")
+    torch = pytest.importorskip("torch")
+    tv = sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    for sub in ("models", "transforms"):
+        if not hasattr(tv, sub):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+    _install_ext_stub(torch)
+    for p in (
+        os.path.join(REFERENCE, "Model", "pointnet2_ops_lib"),
+        os.path.join(REFERENCE, "Model"),
+    ):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from PointNetPP_msg import PointNet2ClassificationMSG as TorchMSG
+    from PointNetPP_ssg import PointNet2ClassificationSSG as TorchSSG
+
+    return torch, TorchSSG, TorchMSG
+
+
+class TestPNPPTorchParity:
+    """Logits parity vs the REAL reference torch PN++ (CPU `_ext` stub).
+
+    This retroactively validates ball-query first-hit padding, CUDA FPS
+    tie-breaks, grouping, and the SA max-pool through a full model
+    (reference PointNetPP_ssg.py:51-132, PointNetPP_msg.py:9-47).
+    """
+
+    def test_fast_ball_query_oracle_matches_slow(self, rng):
+        import test_ops as oracles
+
+        xyz = rng.randn(2, 60, 3).astype(np.float32) * 0.5
+        new_xyz = xyz[:, :10]
+        slow = oracles.np_ball_query(0.4, 8, xyz, new_xyz)
+        fast = _np_ball_query_fast(0.4, 8, xyz, new_xyz)
+        np.testing.assert_array_equal(slow, fast.astype(np.int32))
+
+    @pytest.mark.parametrize("arch", ["ssg", "msg"])
+    def test_logits_parity_vs_reference_torch(self, arch, rng):
+        torch, TorchSSG, TorchMSG = _load_reference_pnpp()
+        cls = TorchSSG if arch == "ssg" else TorchMSG
+        net = cls(use_xyz=True, use_normal=False)
+        net.train()
+        with torch.no_grad():
+            for i in range(2):
+                net(torch.from_numpy(rng.randn(4, 3, 600).astype(np.float32)))
+        net.eval()
+
+        variables = models.convert_pointnetpp_state_dict(
+            {k: v.numpy() for k, v in net.state_dict().items()}
+        )
+        model = (
+            models.PointNet2ClassificationSSG()
+            if arch == "ssg"
+            else models.PointNet2ClassificationMSG()
+        )
+
+        pc = rng.randn(3, 3, 600).astype(np.float32)
+        with torch.no_grad():
+            want = net(torch.from_numpy(pc)).numpy()
+        got = np.asarray(
+            model.apply(
+                variables, jnp.asarray(pc.transpose(0, 2, 1)), train=False
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 class TestFPModule:
     def test_fp_interpolation_shapes(self):
         fp = models.PointnetFPModule(mlp=(64, 64))
