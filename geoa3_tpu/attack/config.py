@@ -56,6 +56,10 @@ class AttackConfig:
     cc_linf: float = 0.0
     # ---- tangent-plane jitter ----
     is_pre_jitter_input: bool = False
+    # naming-only in the reference: switches the dirname suffix to
+    # _PreviousMethod (main_attack.py:73-74); the engine never reads it
+    # (get_perpendicular_jitter is dead code upstream too)
+    is_previous_jitter_input: bool = False
     calculate_project_jitter_noise_iter: int = 50
     jitter_k: int = 16
     jitter_sigma: float = 0.01

@@ -313,11 +313,23 @@ def make_attack_fn(
 
                 # --- tangent jitter refresh every K steps (reference :312-317) ---
                 if cfg.is_pre_jitter_input:
+                    # Reference estimates the jitter from the CURRENT (post-
+                    # subsample) cloud (geoA3_attack.py:311-316); with
+                    # subsample on, re-derive it with the same fps_key the
+                    # loss pass uses so both see the same point set.
+                    if subsample:
+                        jitter_src = ops.farthest_points_sample(
+                            jax.lax.stop_gradient(input_all),
+                            cfg.npoint,
+                            k_fps,
+                        )
+                    else:
+                        jitter_src = input_all
                     jitter = jax.lax.cond(
                         step % cfg.calculate_project_jitter_noise_iter == 0,
                         lambda: estimate_perpendicular(
                             k_jit,
-                            input_all,
+                            jitter_src,
                             cfg.jitter_k,
                             cfg.jitter_sigma,
                             cfg.jitter_clip,
@@ -380,7 +392,8 @@ def make_attack_fn(
             opt_state0 = tx.init(offset0)
             it_loss0 = jnp.full((b,), _INF, pc_ori.dtype)
             it_score0 = jnp.full((b,), -1, jnp.int32)
-            jitter0 = jnp.zeros((b, n, 3), pc_ori.dtype)
+            n_jit = cfg.npoint if subsample else n
+            jitter0 = jnp.zeros((b, n_jit, 3), pc_ori.dtype)
             self_idx0 = (
                 jnp.zeros((b, n, cfg.curv_loss_knn + 1), jnp.int32)
                 if lazy_knn

@@ -77,6 +77,11 @@ def main(cfg) -> dict:
     def classify(pc, mask=None):
         if cfg.arch == "PointNet":
             return model.apply(variables, pc, train=False, point_mask=mask)
+        # PN++: the variance-defense padding (suffix duplicates of the first
+        # kept point) is provably neutral through FPS/ball-query — padded
+        # logits equal shrunk-cloud logits (see geoa3_tpu/defense.py
+        # docstring + test_pnpp_padded_variance_matches_shrunk) — so the
+        # keep-mask is intentionally unused here.
         return model.apply(variables, pc, train=False)
 
     defensed_dir = os.path.join(os.path.split(cfg.datadir)[0], "Defensed")

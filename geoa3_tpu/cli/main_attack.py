@@ -167,6 +167,7 @@ def _attack_config(args, targeted_npoint=None) -> AttackConfig:
         is_real_offset=args.is_real_offset,
         cc_linf=args.cc_linf,
         is_pre_jitter_input=args.is_pre_jitter_input,
+        is_previous_jitter_input=args.is_previous_jitter_input,
         calculate_project_jitter_noise_iter=args.calculate_project_jitter_noise_iter,
         jitter_k=args.jitter_k,
         jitter_sigma=args.jitter_sigma,

@@ -9,7 +9,18 @@ whole eval set:
     mean + alpha * std. The kept count is data-dependent, so the output is
     the full-size cloud with dropped slots REPLACED by the first kept point
     plus a boolean keep-mask; classify with `point_mask` (PointNet supports
-    masked max-pools) or rely on duplicate-padding being max-pool-neutral.
+    masked max-pools) or feed the padded cloud directly.
+
+    The padding is classification-neutral for BOTH victim families:
+    max-pool models trivially (duplicates never win a max), and
+    FPS/ball-query models (PN++) because the duplicates sit in the SUFFIX
+    with the coords of the FIRST kept point — CUDA-FPS starts at index 0 so
+    they carry running min-dist 0 and are never sampled, and ball query pads
+    empty slots with the first in-radius hit, whose coords equal the
+    duplicates'. Padded logits == shrunk-cloud logits (pinned by
+    tests/test_defense.py::test_pnpp_padded_variance_matches_shrunk), so
+    this matches the reference, which materialises the shrunken cloud
+    (defense.py:30-35).
 
 The reference's torch versions (defense.py:18-40) materialise the cloud at
 its shrunken size; the pad+mask design is the TPU equivalent (static shapes,

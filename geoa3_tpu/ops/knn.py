@@ -66,7 +66,9 @@ def _coords_gather_bwd(res, ct):
     ):
         # XLA lowers this scatter-add as sort + segmented reduce (~8 ms at
         # [32,1024,17,3] on v5e); the Pallas one-hot-matmul kernel is ~30%
-        # faster and bit-equivalent up to f32 summation order
+        # faster. Accuracy: split-bf16 hi/lo matmuls, ~2^-16 relative error
+        # (see scatter_kernel.py docstring) — fine for Adam gradients, NOT
+        # bit-equal to the f32 scatter
         from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_pallas
 
         g = scatter_add_pallas(idx, ct, m).astype(points.dtype)

@@ -49,7 +49,10 @@ def attack_exp_dirname(
             name += f"_cclinf{cfg.cc_linf}"
         if cfg.is_pre_jitter_input:
             name += f"_PreJitter{cfg.jitter_sigma}_{cfg.jitter_clip}"
-            name += f"_estNormalVery{cfg.calculate_project_jitter_noise_iter}"
+            if cfg.is_previous_jitter_input:
+                name += "_PreviousMethod"
+            else:
+                name += f"_estNormalVery{cfg.calculate_project_jitter_noise_iter}"
     else:
         assert attack is None
         name = f"Evaluating_{run_id}"

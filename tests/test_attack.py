@@ -157,6 +157,22 @@ class TestAttackCore:
         moved = np.abs(np.asarray(res.best_attack) - pc).sum()
         assert moved > 0
 
+    def test_subsample_with_pre_jitter(self, rng):
+        """Regression: jitter must be estimated from (and carried at) the
+        POST-subsample cloud when is_subsample_opt shrinks n -> npoint
+        (reference geoA3_attack.py:311-316 uses input_curr_iter)."""
+        logits_fn, pc, normal, gt = make_batch(rng, n=64)
+        kw = dict(BASE)
+        kw.update(
+            npoint=32, is_subsample_opt=True, eval_num=3, iter_max_steps=20,
+            is_pre_jitter_input=True, calculate_project_jitter_noise_iter=5,
+            jitter_k=4,
+        )
+        cfg = AttackConfig(attack_label="Untarget", **kw)
+        res = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(6))
+        assert res.best_attack.shape == pc.shape
+        assert np.isfinite(np.asarray(res.all_loss)).all()
+
     def test_subsample_ensemble_eval(self, rng):
         logits_fn, pc, normal, gt = make_batch(rng, n=64)
         kw = dict(BASE)

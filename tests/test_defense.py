@@ -97,6 +97,39 @@ class TestMaskedClassification:
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+    def test_pnpp_padded_variance_matches_shrunk(self, rng):
+        """PN++ on the variance-defense PADDED cloud (no mask) must equal PN++
+        on the physically shrunken cloud, the reference semantics
+        (defense.py:30-35 materialises the shrunk cloud).
+
+        Why this holds: padding = copies of the FIRST kept point in the
+        SUFFIX. CUDA-FPS starts at index 0, so the duplicates carry running
+        min-dist 0 and are never selected while any real point is farther;
+        ball query pads empty slots with the FIRST in-radius hit, whose
+        coords equal the duplicates' coords, so grouped values match slot
+        for slot. Hence logits are identical — the padding is neutral for
+        FPS/ball-query models, not just max-pool ones.
+        """
+        model = models.PointNet2ClassificationSSG(classes=10)
+        n = 600  # > SA1's 512 FPS samples so selection is non-degenerate
+        pc = rng.randn(2, n, 3).astype(np.float32) * 0.3
+        pc[:, :4] += 4.0  # clear outliers at the front
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(pc), train=False
+        )
+
+        res = defense.outliers_variance(jnp.asarray(pc), alpha=1.1, outlier_knn=2)
+        got = np.asarray(model.apply(variables, res.pc, train=False))
+
+        for b in range(2):
+            kept = int(np.asarray(res.keep_mask[b]).sum())
+            shrunk = np.asarray(res.pc[b, :kept])[None]
+            want = np.asarray(
+                model.apply(variables, jnp.asarray(shrunk), train=False)
+            )[0]
+            np.testing.assert_allclose(got[b], want, atol=1e-4, rtol=1e-4)
+
+
 class TestSmoothness:
     def test_smoothness_plane_vs_noise(self, rng):
         # gently curved sheet is smoother than a gaussian blob
