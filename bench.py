@@ -105,6 +105,10 @@ def main() -> None:
                 "value": round(attacks_per_sec, 4),
                 "unit": "attacks/s (1024-pt PointNet, full GeoA3 budget)",
                 "vs_baseline": round(attacks_per_sec / BASELINE_ATTACKS_PER_SEC, 2),
+                # the reference publishes no throughput numbers; the 0.12
+                # attacks/s denominator is a V100-class estimate (see module
+                # docstring), so vs_baseline is NOT a measured comparison
+                "baseline_is_estimate": True,
             }
         )
     )

@@ -52,6 +52,11 @@ class TrainConfig:
     seed: int = 0
     axis_swap: bool = True  # the reference's [0, 2, 1] input convention
     use_tensorboard: bool = False  # reference --is_use_tb (main_train.py:56)
+    # transient-failure resilience (beyond the reference, which only has
+    # --resume): retry a failed epoch from the last good host-side state
+    # snapshot this many times before giving up. Covers TPU-worker restarts
+    # mid-epoch (same class of failure the attack CLI retries per batch).
+    max_epoch_retries: int = 3
 
 
 class TrainState(NamedTuple):
@@ -264,8 +269,14 @@ def train(
         class_prec = float(ckpt.get("class_prec", 0.0))
         log(f"=> loaded checkpoint '{resume}' (epoch {ckpt['epoch']})")
     cached_step, cached_epoch_cfg = None, None
+    # host-side snapshot for transient-failure recovery: if the device (or
+    # the TPU worker behind it) dies mid-epoch, the device-held state is
+    # gone; re-place this copy and retry the epoch from its start.
+    host_state = jax.device_get(state)
+    epoch_attempts = 0
+    epoch = start_epoch
 
-    for epoch in range(start_epoch, cfg.epochs + 1):
+    while epoch <= cfg.epochs:
         # train steps are re-jitted only when lr / BN momentum actually change
         epoch_cfg = (
             lr_for_epoch(cfg.lr, epoch - 1, cfg.decay_epochs),
@@ -276,20 +287,35 @@ def train(
             cached_epoch_cfg = epoch_cfg
         train_step = cached_step
 
-        losses, accs = AverageMeter(), AverageMeter()
-        t0 = time.time()
-        train_dataset.reset()
-        while train_dataset.has_next_batch():
-            points, target = train_dataset.next_batch(cfg.is_aug_data)
-            pc = _prep_batch(cfg, points)
-            key, sk = jax.random.split(key)
-            state, metrics = train_step(
-                state, jnp.asarray(pc), jnp.asarray(target), sk
-            )
-            losses.update(float(metrics["loss"]), len(target))
-            accs.update(float(metrics["acc"]), len(target))
+        try:
+            losses, accs = AverageMeter(), AverageMeter()
+            t0 = time.time()
+            train_dataset.reset()
+            while train_dataset.has_next_batch():
+                points, target = train_dataset.next_batch(cfg.is_aug_data)
+                pc = _prep_batch(cfg, points)
+                key, sk = jax.random.split(key)
+                state, metrics = train_step(
+                    state, jnp.asarray(pc), jnp.asarray(target), sk
+                )
+                losses.update(float(metrics["loss"]), len(target))
+                accs.update(float(metrics["acc"]), len(target))
 
-        class_acc, inst_acc = evaluate(cfg, state, test_dataset, eval_step)
+            class_acc, inst_acc = evaluate(cfg, state, test_dataset, eval_step)
+        except Exception as e:  # jax.errors.JaxRuntimeError on restarts
+            epoch_attempts += 1
+            if epoch_attempts > cfg.max_epoch_retries:
+                raise
+            log(
+                f"[warn] epoch {epoch} failed ({type(e).__name__}: {e}); "
+                f"retrying from last good state "
+                f"({epoch_attempts}/{cfg.max_epoch_retries})"
+            )
+            state = jax.device_put(host_state)
+            cached_step, cached_epoch_cfg = None, None  # fresh executables
+            continue
+        epoch_attempts = 0
+        host_state = jax.device_get(state)
         if tb_writer is not None:
             tb_writer.add_scalar("Train Loss", losses.avg, epoch)
             tb_writer.add_scalar("Train Top1", accs.avg, epoch)
@@ -333,6 +359,7 @@ def train(
                     if is_best
                     else "\n"
                 )
+        epoch += 1
 
     if tb_writer is not None:
         tb_writer.close()

@@ -166,3 +166,69 @@ def test_resume_continues_training(tmp_path):
     assert sum("epoch [" in l for l in logs) == 1
     ckpt = load_checkpoint(str(tmp_path))
     assert ckpt["epoch"] == 3
+
+
+def test_epoch_retry_on_transient_failure(tmp_path, monkeypatch):
+    """A mid-epoch device failure is retried from the last good host snapshot
+    (TPU-worker-restart resilience; the attack CLI has the same guard
+    per batch)."""
+    import geoa3_tpu.train as T
+
+    cfg = TrainConfig(arch="PointNet", classes=4, npoint=32, batch_size=8, epochs=3)
+    ds = SyntheticTrainDataset(num_per_class=8, classes=4, batch_size=8, npoints=32)
+    ds_test = SyntheticTrainDataset(
+        num_per_class=4, classes=4, batch_size=8, npoints=32, split="test"
+    )
+
+    real_make = T.make_train_step
+    # the step fn is cached across epochs with unchanged lr/BN momentum, so
+    # inject by call count: fail twice starting mid-epoch-2 (4 batches/epoch)
+    calls = {"n": 0}
+    boom = {"armed": 2}
+
+    def flaky_make(cfg_, epoch):
+        step = real_make(cfg_, epoch)
+
+        def wrapped(state, pc, target, rng):
+            calls["n"] += 1
+            if calls["n"] >= 6 and boom["armed"] > 0:
+                boom["armed"] -= 1
+                raise RuntimeError("injected transient device failure")
+            return step(state, pc, target, rng)
+
+        return wrapped
+
+    monkeypatch.setattr(T, "make_train_step", flaky_make)
+    logs = []
+    state, result = T.train(
+        cfg, ds, ds_test, modeldir=str(tmp_path), log=logs.append
+    )
+    warns = [l for l in logs if "retrying from last good state" in l]
+    assert len(warns) == 2
+    # all three epochs completed despite the two injected failures
+    assert sum("epoch [" in l for l in logs) == 3
+    ckpt = load_checkpoint(str(tmp_path))
+    assert ckpt["epoch"] == 3
+
+
+def test_epoch_retry_exhaustion_raises(tmp_path, monkeypatch):
+    import geoa3_tpu.train as T
+
+    cfg = TrainConfig(
+        arch="PointNet", classes=4, npoint=32, batch_size=8, epochs=2,
+        max_epoch_retries=1,
+    )
+    ds = SyntheticTrainDataset(num_per_class=8, classes=4, batch_size=8, npoints=32)
+    ds_test = SyntheticTrainDataset(
+        num_per_class=4, classes=4, batch_size=8, npoints=32, split="test"
+    )
+
+    def always_fail(cfg_, epoch):
+        def wrapped(state, pc, target, rng):
+            raise RuntimeError("permanent failure")
+
+        return wrapped
+
+    monkeypatch.setattr(T, "make_train_step", always_fail)
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        T.train(cfg, ds, ds_test, modeldir=str(tmp_path), log=lambda s: None)
