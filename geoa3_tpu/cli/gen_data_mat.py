@@ -37,6 +37,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the reference's [0,2,1] y/z swap",
     )
     parser.add_argument("--random_seed", default=0, type=int)
+    # ---- virtual-scan path (reference gen_data_mat.py:186-226) ----
+    parser.add_argument(
+        "--is_using_virscan", action="store_true", default=False,
+        help="assemble from ascii-PLY virtual scans instead of a test split",
+    )
+    parser.add_argument(
+        "--virscan_dir", default="Data/Ten_class_pc_normal", type=str,
+        help="directory of *_<label>.ply scans (reference hardcodes "
+        "Data/Ten_class_pc_normal)",
+    )
+    parser.add_argument(
+        "--dense_npoints", default=10000, type=int,
+        help="paired dense variant size; 0 disables (reference default 10000)",
+    )
     return parser
 
 
@@ -48,6 +62,34 @@ def main(cfg) -> str:
 
     def logits_fn(pc):
         return np.asarray(jitted(jnp.asarray(pc)))
+
+    if cfg.is_using_virscan:
+        from geoa3_tpu.data.gen_data_mat import distill_virscan_set
+
+        out, dense_out = distill_virscan_set(
+            cfg.virscan_dir,
+            logits_fn,
+            npoint=cfg.npoint,
+            dense_npoints=cfg.dense_npoints,
+            max_out_num=cfg.max_out_num,
+            seed=cfg.random_seed,
+        )
+        os.makedirs(cfg.outdir, exist_ok=True)
+        n_inst = out["data"].shape[0]
+        path = os.path.join(
+            cfg.outdir,
+            f"modelnet10_{n_inst}instances{cfg.npoint}_{cfg.arch}.mat",
+        )
+        sio.savemat(path, out)
+        print(f"saved {n_inst} instances -> {path}")
+        if dense_out is not None:
+            dense_path = os.path.join(
+                cfg.outdir,
+                f"modelnet10_{n_inst}instances{cfg.dense_npoints}_{cfg.arch}.mat",
+            )
+            sio.savemat(dense_path, dense_out)
+            print(f"saved dense variant -> {dense_path}")
+        return path
 
     if cfg.datadir.startswith("synthetic"):
         from geoa3_tpu.data.synthetic import sample_shape

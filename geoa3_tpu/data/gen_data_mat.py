@@ -89,6 +89,101 @@ def farthest_points_normalized(
     return tuple(out)
 
 
+def distill_virscan_set(
+    scan_dir: str,
+    logits_fn: Callable[[np.ndarray], np.ndarray],
+    npoint: int,
+    dense_npoints: int = 0,
+    max_out_num: int = 25,
+    label_whitelist: Optional[Sequence[int]] = None,
+    seed: int = 0,
+    log: Callable[[str], None] = print,
+) -> Tuple[Dict[str, np.ndarray], Optional[Dict[str, np.ndarray]]]:
+    """Virtual-scan attack-set assembly (reference gen_data_mat.py:186-226).
+
+    Reads ascii-PLY scans named `*_<label>.<ext>` from `scan_dir` (skipping
+    .obj files), FPS-normalises each to `npoint` (and, when dense_npoints>0,
+    a PAIRED dense variant from the same source points with the same
+    per-class cap indices), classifies with the victim after the reference's
+    [0,2,1] y/z swap, keeps correctly-classified whitelisted instances, and
+    caps `max_out_num` per class by random permutation (:289).
+
+    Returns (attack_set, dense_set|None), each {data [N,3,n], normal, label}.
+    """
+    import os
+
+    from geoa3_tpu.data.io import read_ply_ascii
+
+    whitelist = set(
+        TEN_LABEL_INDEXES if label_whitelist is None else label_whitelist
+    )
+    rng = np.random.RandomState(seed)
+    per_class: Dict[int, list] = {c: [] for c in whitelist}
+
+    file_names = sorted(os.listdir(scan_dir))
+    for i, file_name in enumerate(file_names):
+        if ".obj" in file_name:
+            continue
+        label = int(file_name.split("_")[1].split(".")[0])
+        if label not in whitelist:
+            log(f"[{i}/{len(file_names)}] label {label}: pass!")
+            continue
+        ori_points, ori_normal = read_ply_ascii(
+            os.path.join(scan_dir, file_name)
+        )
+        assert ori_normal is not None, f"scan {file_name} has no normals"
+        points, normal = farthest_points_normalized(
+            ori_points, npoint, rng=rng, extras=[ori_normal]
+        )
+        entry = {"pc": points, "normal": normal}
+        if dense_npoints > 0:
+            dense_points, dense_normal = farthest_points_normalized(
+                ori_points, dense_npoints, rng=rng, extras=[ori_normal]
+            )
+            entry["dense_pc"] = dense_points
+            entry["dense_normal"] = dense_normal
+        # reference classifies pc[:, [0,2,1], :] and stores the swapped pc
+        pred = int(np.argmax(logits_fn(points[None, :, [0, 2, 1]]), -1)[0])
+        if pred == label:
+            log(f"[{i}/{len(file_names)}] label {label}: pred successed!")
+            per_class[label].append(entry)
+        else:
+            log(f"[{i}/{len(file_names)}] label {label}: pred failed!")
+
+    data, normals, labels = [], [], []
+    dense_data, dense_normals = [], []
+    for c in sorted(whitelist, key=TEN_LABEL_INDEXES.index):
+        items = per_class[c]
+        if not items:
+            continue
+        # one shared randperm caps BOTH the attack-res and dense arrays so
+        # the pairs stay aligned (reference :289-296 reuses `index`)
+        pick = rng.permutation(len(items))[:max_out_num]
+        for k in pick:
+            e = items[k]
+            data.append(e["pc"][:, [0, 2, 1]].T)
+            normals.append(e["normal"][:, [0, 2, 1]].T)
+            labels.append(c)
+            if dense_npoints > 0:
+                dense_data.append(e["dense_pc"][:, [0, 2, 1]].T)
+                dense_normals.append(e["dense_normal"][:, [0, 2, 1]].T)
+
+    label_arr = np.asarray(labels, np.int64).reshape(-1, 1)
+    out = {
+        "data": np.stack(data).astype(np.float32),
+        "normal": np.stack(normals).astype(np.float32),
+        "label": label_arr,
+    }
+    dense_out = None
+    if dense_npoints > 0:
+        dense_out = {
+            "data": np.stack(dense_data).astype(np.float32),
+            "normal": np.stack(dense_normals).astype(np.float32),
+            "label": label_arr,
+        }
+    return out, dense_out
+
+
 def distill_attack_set(
     iter_instances,
     logits_fn: Callable[[np.ndarray], np.ndarray],

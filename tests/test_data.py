@@ -262,3 +262,110 @@ class TestPLY:
         got_p, got_n = io.read_ply_ascii(str(path))
         np.testing.assert_allclose(got_p, pts, atol=1e-5)
         np.testing.assert_allclose(got_n, nrm, atol=1e-5)
+
+
+class TestVirscanAssembly:
+    """Fixture test for the virtual-scan distillation path
+    (reference gen_data_mat.py:186-226)."""
+
+    @staticmethod
+    def _write_ply(path, pts, nrm):
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(pts)}\n")
+            for prop in ("x", "y", "z", "nx", "ny", "nz"):
+                f.write(f"property float {prop}\n")
+            f.write("end_header\n")
+            for p, n in zip(pts, nrm):
+                f.write(
+                    f"{p[0]} {p[1]} {p[2]} {n[0]} {n[1]} {n[2]}\n"
+                )
+
+    def _make_scandir(self, tmp_path, rng):
+        from geoa3_tpu.data.modelnet import TEN_LABEL_INDEXES
+
+        d = tmp_path / "scans"
+        d.mkdir()
+        labels = []
+        # 3 scans for each of the first 2 attacked classes + 1 non-whitelisted
+        for j, lab in enumerate(TEN_LABEL_INDEXES[:2]):
+            for k in range(3):
+                pts = rng.randn(200, 3).astype(np.float32) + 5 * j
+                nrm = rng.randn(200, 3).astype(np.float32)
+                self._write_ply(d / f"scan{j}{k}_{lab}.ply", pts, nrm)
+                labels.append(lab)
+        self._write_ply(
+            d / "scanx_0.ply",
+            rng.randn(200, 3).astype(np.float32),
+            rng.randn(200, 3).astype(np.float32),
+        )  # label 0 is not in the ten attacked classes -> skipped
+        (d / "ignored_3.obj").write_text("o mesh\n")  # .obj files skipped
+        return str(d)
+
+    def test_assembly_pairing_and_caps(self, tmp_path, rng):
+        from geoa3_tpu.data.gen_data_mat import distill_virscan_set
+        from geoa3_tpu.data.modelnet import TEN_LABEL_INDEXES
+
+        scan_dir = self._make_scandir(tmp_path, rng)
+
+        # stub victim that always classifies correctly: files are visited in
+        # sorted order, so pop the expected labels in that same order
+        import os
+
+        expected = []
+        for fn in sorted(os.listdir(scan_dir)):
+            if ".obj" in fn:
+                continue
+            lab = int(fn.split("_")[1].split(".")[0])
+            if lab in TEN_LABEL_INDEXES:
+                expected.append(lab)
+        seq = list(expected)
+
+        def logits_fn(pc):
+            lab = seq.pop(0)
+            out = np.zeros((1, 40), np.float32)
+            out[0, lab] = 1.0
+            return out
+
+        out, dense = distill_virscan_set(
+            scan_dir, logits_fn, npoint=64, dense_npoints=96,
+            max_out_num=2, seed=0, log=lambda s: None,
+        )
+        # 2 classes x cap 2 (3 available each); non-whitelisted label skipped
+        assert out["data"].shape == (4, 3, 64)
+        assert dense["data"].shape == (4, 3, 96)
+        np.testing.assert_array_equal(out["label"], dense["label"])
+        labs = out["label"].reshape(-1)
+        assert sorted(set(labs)) == sorted(TEN_LABEL_INDEXES[:2])
+
+        # pairing: each dense cloud must come from the SAME source scan as
+        # its sparse sibling — chamfer to the sibling is far smaller than to
+        # any other instance of the same class
+        for i in range(4):
+            a = out["data"][i].T
+            dists = []
+            for j in range(4):
+                b = dense["data"][j].T
+                d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+                dists.append(d2.min(axis=1).mean())
+            assert int(np.argmin(dists)) == i
+
+    def test_misclassified_scans_are_dropped(self, tmp_path, rng):
+        from geoa3_tpu.data.gen_data_mat import distill_virscan_set
+        from geoa3_tpu.data.modelnet import TEN_LABEL_INDEXES
+
+        scan_dir = self._make_scandir(tmp_path, rng)
+        c0 = TEN_LABEL_INDEXES[0]
+
+        def logits_fn(pc):  # always predicts c0: only class-c0 scans kept
+            out = np.zeros((1, 40), np.float32)
+            out[0, c0] = 1.0
+            return out
+
+        out, dense = distill_virscan_set(
+            scan_dir, logits_fn, npoint=64, dense_npoints=0,
+            max_out_num=5, seed=0, log=lambda s: None,
+        )
+        assert dense is None
+        assert (out["label"].reshape(-1) == c0).all()
+        assert out["data"].shape[0] == 3
