@@ -34,16 +34,50 @@ from geoa3_tpu import ops
 BN_EPS = 1e-5
 
 
+class _SplitDense(nn.Module):
+    """Dense over a conceptually-concatenated input, without the concat.
+
+    `concat([a, b], -1) @ W` computed as `a @ W[:wa] + b @ W[wa:]`. The
+    param tree/shape is identical to nn.Dense on the concatenated width
+    (kernel [wa+wb, features]), so checkpoints/converters are unaffected.
+    TPU motivation: the concatenated width (e.g. 3+128=131) pads the MXU
+    contraction dim to the next 128 multiple (~2x waste) and the backward
+    materialises a slice+relayout of the concat cotangent (split+copy in
+    the profile); the split form avoids both. Summation order differs from
+    the fused contraction by one final add (parity tolerances absorb it).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        wa, wb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (wa + wb, self.features),
+            jnp.float32,
+        )
+        return a @ kernel[:wa] + b @ kernel[wa:]
+
+
 class SharedMLP(nn.Module):
-    """Conv2d-1x1 + BN + ReLU stack over channel-last group tensors."""
+    """Conv2d-1x1 + BN + ReLU stack over channel-last group tensors.
+
+    Accepts either a single tensor or an (xyz_part, features_part) tuple;
+    the tuple form feeds the first conv through _SplitDense (same params,
+    no concat)."""
 
     features: Sequence[int]
     bn_momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, use_bias=False, name=f"conv{i}")(x)
+            if i == 0 and isinstance(x, tuple):
+                x = _SplitDense(f, name="conv0")(*x)
+            else:
+                x = nn.Dense(f, use_bias=False, name=f"conv{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 epsilon=BN_EPS,
@@ -64,14 +98,16 @@ def _query_and_group(
 ) -> jax.Array:
     """Ball-query grouping (reference pointnet2_utils.py:279-333).
 
-    xyz [b,n,3], new_xyz [b,m,3], features [b,n,c] -> [b, m, nsample, 3+c].
+    xyz [b,n,3], new_xyz [b,m,3], features [b,n,c] -> [b, m, nsample, 3+c]
+    (as an (xyz, feats) tuple when both parts exist; see SharedMLP).
     """
     idx = ops.ball_query(radius, nsample, xyz, new_xyz)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:
         grouped_feats = ops.group_points(features, idx)
         if use_xyz:
-            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+            # tuple, not concat: SharedMLP splits the first conv instead
+            return (grouped_xyz, grouped_feats)
         return grouped_feats
     assert use_xyz, "cannot have no features and not use xyz"
     return grouped_xyz
@@ -85,7 +121,7 @@ def _group_all(
     if features is not None:
         grouped_feats = features[:, None, :, :]
         if use_xyz:
-            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+            return (grouped_xyz, grouped_feats)
         return grouped_feats
     return grouped_xyz
 

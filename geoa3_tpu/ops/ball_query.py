@@ -37,12 +37,19 @@ def ball_query(
     n = xyz.shape[1]
     d2 = pairwise_sqdist(new_xyz, xyz)  # [b, m, n]
     hit = d2 < radius * radius
-    point_idx = jnp.arange(n, dtype=jnp.int32)  # broadcast over [b, m, n]
-    key = jnp.where(hit, point_idx, n)
+    point_idx = jnp.arange(n, dtype=jnp.float32)  # broadcast over [b, m, n]
+    key = jnp.where(hit, point_idx, float(n))
     # nsample smallest keys, ascending == first hits in index order.
+    # approx_min_k with recall_target=1.0 is EXACT (and sorts the result);
+    # it lowers to the TPU PartialReduce custom call, ~2.5x faster than the
+    # full sort lax.top_k produces for this shape. Tie handling is
+    # irrelevant here: real keys (indices) are distinct, and which of the
+    # `n`-valued filler keys come back does not matter because every
+    # slot >= n is replaced by the first hit below. Keys fit f32 exactly
+    # (n << 2^24).
     k_eff = min(nsample, n)  # nsample may exceed the point count
-    neg_topk, _ = jax.lax.top_k(-key, k_eff)  # [b, m, k_eff]
-    idx = -neg_topk
+    vals, _ = jax.lax.approx_min_k(key, k_eff, recall_target=1.0)
+    idx = vals.astype(jnp.int32)
     if k_eff < nsample:
         pad = jnp.broadcast_to(
             idx[..., :1], idx.shape[:-1] + (nsample - k_eff,)

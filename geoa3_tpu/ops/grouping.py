@@ -57,11 +57,24 @@ def _group_points_bwd(res, ct):
         _pallas_ok(n, 2) and n % 256 == 0 and c <= 512
         and not _pallas_disabled("scatter")
     ):
-        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_nc_pallas
+        if c == 3:
+            # xyz cotangents: the transposed 3-plane kernel avoids padding
+            # 3 output lanes to 128 (~16x fewer MXU slots)
+            from geoa3_tpu.ops.pallas.scatter_kernel import (
+                scatter_add_3t_pallas,
+            )
 
-        g = scatter_add_nc_pallas(
-            idx.reshape(b, m * ns), ct.reshape(b, m * ns, c), n
-        ).astype(features.dtype)
+            g = scatter_add_3t_pallas(
+                idx.reshape(b, m * ns), ct.reshape(b, m * ns, c), n
+            ).astype(features.dtype)
+        else:
+            from geoa3_tpu.ops.pallas.scatter_kernel import (
+                scatter_add_nc_pallas,
+            )
+
+            g = scatter_add_nc_pallas(
+                idx.reshape(b, m * ns), ct.reshape(b, m * ns, c), n
+            ).astype(features.dtype)
     else:
         g = (
             jnp.zeros_like(features)

@@ -65,13 +65,18 @@ def _coords_gather_bwd(res, ct):
         and not _pallas_disabled("scatter")
     ):
         # XLA lowers this scatter-add as sort + segmented reduce (~8 ms at
-        # [32,1024,17,3] on v5e); the Pallas one-hot-matmul kernel is ~30%
-        # faster. Accuracy: split-bf16 hi/lo matmuls, ~2^-16 relative error
-        # (see scatter_kernel.py docstring) — fine for Adam gradients, NOT
-        # bit-equal to the f32 scatter
-        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_pallas
+        # [32,1024,17,3] on v5e); the transposed-layout Pallas one-hot
+        # matmul kernel keeps the minor matmul dim full (~16x fewer MXU
+        # slots than the [TM, 3]-output variant). Accuracy: split-bf16
+        # hi/lo matmuls, ~2^-16 relative error (see scatter_kernel.py
+        # docstring) — fine for Adam gradients, NOT bit-equal to the f32
+        # scatter
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_3t_pallas
 
-        g = scatter_add_pallas(idx, ct, m).astype(points.dtype)
+        nq, k = idx.shape[1], idx.shape[2]
+        g = scatter_add_3t_pallas(
+            idx.reshape(b, nq * k), ct.reshape(b, nq * k, 3), m
+        ).astype(points.dtype)
     else:
         g = (
             jnp.zeros_like(points)

@@ -171,3 +171,35 @@ class TestScatterNC:
         np.testing.assert_allclose(
             np.asarray(g), counts[..., None].repeat(4, -1), atol=1e-5
         )
+
+
+class TestScatter3T:
+    def test_3t_scatter_matches_xla(self, rng):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_3t_pallas
+
+        b, S, m = 2, 200, 256
+        idx = jnp.asarray(rng.randint(0, m, (b, S)), jnp.int32)
+        ct = jnp.asarray(rng.randn(b, S, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = scatter_add_3t_pallas(idx, ct, m, src_chunk=64)
+        want = (
+            jnp.zeros((b, m, 3)).at[jnp.arange(b)[:, None], idx].add(ct)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2
+        )
+
+    def test_3t_scatter_multi_mblock_and_pad(self, rng):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_3t_pallas
+
+        b, S, m = 1, 130, 512  # S not divisible by chunk; m needs 2 blocks
+        idx = jnp.asarray(rng.randint(0, m, (b, S)), jnp.int32)
+        ct = jnp.asarray(rng.randn(b, S, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = scatter_add_3t_pallas(idx, ct, m, src_chunk=64)
+        want = (
+            jnp.zeros((b, m, 3)).at[jnp.arange(b)[:, None], idx].add(ct)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2
+        )
