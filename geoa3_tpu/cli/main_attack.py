@@ -135,6 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="seconds before a hung attack batch is abandoned and retried "
         "(0 = off); tunnelled TPU runtimes can hang instead of erroring",
     )
+    parser.add_argument(
+        "--victim_dtype", default="float32",
+        choices=("float32", "bfloat16"),
+        help="dtype for the victim forward/backward INSIDE the optimisation "
+        "loop (bfloat16 = MXU-native, ~2x victim time); the final success "
+        "re-evaluation always runs the float32 victim",
+    )
     return parser
 
 
@@ -260,15 +267,22 @@ def main(args) -> str:
 
     # one compiled attack program for the fixed padded batch size
     full_b = args.batch_size * num_attack_classes
+    # optionally run the victim in bf16 inside the optimisation loop; the
+    # f32 `logits_fn` above still does the final success re-evaluation
+    opt_logits_fn = (
+        make_eval_fn(model, variables, dtype=jnp.bfloat16)
+        if args.victim_dtype == "bfloat16"
+        else logits_fn
+    )
     def build_attack_fn():
         if args.mesh_data_parallel:
             return parallel.make_sharded_attack_fn(
-                logits_fn, cfg, parallel.make_mesh()
+                opt_logits_fn, cfg, parallel.make_mesh()
             )
         # host-driven binary search: one device program per search step,
         # bounding execution time per program (long-running executions are
         # unreliable on tunnelled TPU runtimes)
-        return make_attack_fn(logits_fn, cfg, host_binary_loop=True)
+        return make_attack_fn(opt_logits_fn, cfg, host_binary_loop=True)
 
     attack_fn = build_attack_fn()
 

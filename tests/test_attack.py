@@ -332,6 +332,19 @@ class TestPointNetPPVictim:
         res = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(res.all_loss)).all()
 
+    def test_bf16_victim_attack_succeeds(self, rng):
+        """--victim_dtype bfloat16: optimise through a bf16 victim, but
+        measure success with the f32 one (exactly what the CLI does)."""
+        logits_fn, pc, normal, gt = make_batch(rng)
+
+        def bf16_logits(p):
+            return logits_fn(p.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        cfg = AttackConfig(attack_label="Untarget", **BASE)
+        res = attack(bf16_logits, pc, normal, gt, gt, cfg, jax.random.PRNGKey(0))
+        preds = np.argmax(np.asarray(logits_fn(res.best_attack)), -1)
+        assert (preds != gt).mean() >= 0.75
+
     def test_bf16_eval_fn(self, rng):
         import jax.numpy as jnp
 
