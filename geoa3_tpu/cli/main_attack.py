@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -289,6 +290,7 @@ def main(args) -> str:
     num_attack_success = 0
     cnt_ins = dataset.start_index
     cnt_all = 0
+    inst_of_name: dict[str, int] = {}
     t_start = time.time()
 
     batches = list(gdata.batched(dataset, args.batch_size))
@@ -391,6 +393,11 @@ def main(args) -> str:
                     int(adv_pred[k]),
                     int(target[k]),
                 )
+                # dataset-relative instance index, carried explicitly so the
+                # metrics pass never has to re-parse it out of the filename
+                inst_of_name[name + ".mat"] = (
+                    cnt_ins + k // num_attack_classes - dataset.start_index
+                )
                 gio.save_adversarial_mat(
                     os.path.join(saved_dir, "Mat", name + ".mat"),
                     adv_pc[k],
@@ -424,13 +431,16 @@ def main(args) -> str:
 
     # extra (beyond the reference): geometric-quality metrics of the
     # successful adversarial clouds, for the CD/HD parity audit
-    _write_attack_metrics(saved_dir, dataset, rate)
+    _write_attack_metrics(saved_dir, dataset, rate, inst_of_name)
     print(f"saved_dir: {saved_dir}")
     print("Finish!")
     return saved_dir
 
 
-def _write_attack_metrics(saved_dir: str, dataset, success_rate: float) -> None:
+def _write_attack_metrics(
+    saved_dir: str, dataset, success_rate: float,
+    inst_of_name: Optional[dict] = None,
+) -> None:
     import json
 
     from geoa3_tpu import losses as L
@@ -443,12 +453,18 @@ def _write_attack_metrics(saved_dir: str, dataset, success_rate: float) -> None:
         return
     if len(adv_ds) == 0:
         return
-    # match each adv instance back to its clean cloud via the filename index
+    # match each adv instance back to its clean cloud: by the explicit index
+    # recorded at save time; filename parsing only covers files left over
+    # from earlier runs into the same experiment dir
     cds, hds = [], []
     clean_by_idx = {i: dataset.data[i] for i in range(len(dataset))}
+    inst_of_name = inst_of_name or {}
     for path in adv_ds.files:
         stem = os.path.basename(path)
-        inst = int(stem.split("_")[1]) - dataset.start_index
+        if stem in inst_of_name:
+            inst = inst_of_name[stem]
+        else:
+            inst = int(stem.split("_")[1]) - dataset.start_index
         if inst not in clean_by_idx:
             continue
         adv_pc, _, _ = adv_ds[adv_ds.files.index(path)]
