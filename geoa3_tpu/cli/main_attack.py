@@ -143,6 +143,12 @@ def build_parser() -> argparse.ArgumentParser:
         "loop (bfloat16 = MXU-native, ~2x victim time); the final success "
         "re-evaluation always runs the float32 victim",
     )
+    parser.add_argument(
+        "--curv_knn_refresh_every", default=1, type=int,
+        help="recompute the curvature loss's adversarial self-kNN every K "
+        "steps instead of every step (1 = exact reference behaviour); the "
+        "point set drifts ~lr per step so small K is near-exact",
+    )
     return parser
 
 
@@ -166,6 +172,7 @@ def _attack_config(args, targeted_npoint=None) -> AttackConfig:
         hd_loss_weight=args.hd_loss_weight,
         curv_loss_weight=args.curv_loss_weight,
         curv_loss_knn=args.curv_loss_knn,
+        curv_knn_refresh_every=args.curv_knn_refresh_every,
         uniform_loss_weight=args.uniform_loss_weight,
         is_use_lr_scheduler=args.is_use_lr_scheduler,
         is_partial_var=args.is_partial_var,
