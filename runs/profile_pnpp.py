@@ -8,7 +8,11 @@ import sys
 import time
 from collections import defaultdict
 
-os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "pnpp"))
+_ARCH = os.environ.get("ARCH", "PointNetPP")
+os.chdir(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "msg" if _ARCH == "PointNetPP_MSG" else "pnpp",
+))
 sys.path.insert(0, "/root/repo")
 import jax
 
@@ -24,15 +28,18 @@ from geoa3_tpu.utils.checkpoint import load_victim_variables
 B = int(os.environ.get("B", 16))
 STEPS = int(os.environ.get("STEPS", 100))
 ARCH = os.environ.get("ARCH", "PointNetPP")
+DTYPE = os.environ.get("DTYPE", "")  # "bf16" -> bf16 victim
 N = 1024
 
 model = build_model(ARCH, 40, N)
-variables = load_victim_variables("Pretrained/PointNetPP/1024", arch=ARCH)
-logits_fn = make_eval_fn(model, variables)
+variables = load_victim_variables(f"Pretrained/{ARCH}/1024", arch=ARCH)
+logits_fn = make_eval_fn(
+    model, variables, dtype=jnp.bfloat16 if DTYPE == "bf16" else None
+)
 
 import scipy.io as sio
 
-d = sio.loadmat("Data/modelnet10_250instances1024_PointNetPP.mat")
+d = sio.loadmat(f"Data/modelnet10_250instances1024_{ARCH}.mat")
 pc = jnp.asarray(d["data"][:B].transpose(0, 2, 1))
 nrm = jnp.asarray(d["normal"][:B].transpose(0, 2, 1))
 gt = jnp.asarray(d["label"][:B].reshape(-1))
@@ -42,6 +49,7 @@ cfg = AttackConfig(
     binary_max_steps=1, iter_max_steps=STEPS,
     cls_loss_type="CE", dis_loss_type="CD", dis_loss_weight=1.0,
     hd_loss_weight=0.1, curv_loss_weight=1.0, curv_loss_knn=16,
+    curv_knn_refresh_every=int(os.environ.get("REFRESH", 1)),
 )
 fn = jax.jit(make_attack_fn(logits_fn, cfg))
 t0 = time.time()
