@@ -95,20 +95,23 @@ def main(cfg) -> dict:
 
     # group instances by point count so each group runs as fixed-shape
     # batches through ONE compiled defend+classify program (per-instance
-    # device calls would pay the host round trip per cloud)
+    # device calls would pay the host round trip per cloud). Only the index
+    # and labels are kept from the metadata pass; clouds are (re)loaded per
+    # batch and defended clouds are retained only when an .obj dump needs
+    # them — memory stays O(batch), not O(dataset)
+    record = cfg.is_record_all or cfg.is_record_wrong
     by_n: dict = {}
     for i in range(len(dataset)):
         adv_pc, gt_label, attack_label = dataset[i]
-        by_n.setdefault(adv_pc.shape[0], []).append(
-            (i, adv_pc, gt_label, attack_label)
-        )
+        by_n.setdefault(adv_pc.shape[0], []).append((i, gt_label, attack_label))
+        del adv_pc
 
     BS = 32
     results = {}
     for n_pts, items in sorted(by_n.items()):
         for start in range(0, len(items), BS):
             chunk = items[start : start + BS]
-            pcs = np.stack([c[1] for c in chunk])
+            pcs = np.stack([dataset[c[0]][0] for c in chunk])
             pad = BS - len(chunk)
             if pad:
                 pcs = np.concatenate([pcs, np.repeat(pcs[:1], pad, 0)], 0)
@@ -124,14 +127,16 @@ def main(cfg) -> dict:
             preds = np.asarray(jnp.argmax(logits, -1))
             drops = np.asarray(res.num_dropped)
             keep_masks = (
-                np.asarray(res.keep_mask) if res.keep_mask is not None else None
+                np.asarray(res.keep_mask)
+                if record and res.keep_mask is not None
+                else None
             )
-            defended = np.asarray(res.pc)
-            for j, (i, _, gt_label, attack_label) in enumerate(chunk):
+            defended = np.asarray(res.pc) if record else None
+            for j, (i, gt_label, attack_label) in enumerate(chunk):
                 results[i] = (
                     int(preds[j]),
                     int(drops[j]),
-                    defended[j],
+                    defended[j] if record else None,
                     keep_masks[j] if keep_masks is not None else None,
                     gt_label,
                     attack_label,

@@ -127,7 +127,8 @@ def test_full_pipeline(workdir, trained_victim):
         assert os.path.isfile(os.path.join(saved_dir, "defense_result.txt"))
         assert 0 <= dres["final_acc"] <= 100
 
-        # variance-type defense too (dynamic shapes path)
+        # variance-type defense too (dynamic shapes path), with the obj-dump
+        # recording path on (defended clouds kept only under this flag)
         dargs2 = dp().parse_args(
             [
                 "--datadir", os.path.join(saved_dir, "Mat"),
@@ -135,9 +136,13 @@ def test_full_pipeline(workdir, trained_victim):
                 "--defense_type", "outliers_variance",
                 "--alpha", "1.1",
                 "--checkpoint", modeldir,
+                "--is_record_all",
             ]
         )
         defense_main(dargs2)
+        defensed_dir = os.path.join(saved_dir, "Defensed")
+        objs = [f for f in os.listdir(defensed_dir) if f.endswith(".obj")]
+        assert len(objs) == len(mats)
 
     # ---- 4. smoothness metric over the Mat dir ----
     if mats:
