@@ -151,6 +151,57 @@ class TestPointNetPP:
         init_shapes = jax.tree.map(jnp.shape, init_vars)
         assert conv_shapes == init_shapes
 
+    def test_msg_converted_tree_structure(self):
+        """MSG multi-scale converter tree: mlps.{0,1,2} per SA level
+        (reference PointNetPP_msg.py:17-46)."""
+        sd = {}
+
+        def add_conv(prefix, cin, cout):
+            sd[f"{prefix}.weight"] = np.zeros((cout, cin, 1, 1), np.float32)
+
+        def add_bn(prefix, c):
+            sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+            sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+            sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+            sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+        # per-SA-level, per-scale mlp widths with use_xyz=True
+        specs = [
+            [  # SA1: radii [.1,.2,.4]
+                [(3, 32), (32, 32), (32, 64)],
+                [(3, 64), (64, 64), (64, 128)],
+                [(3, 64), (64, 96), (96, 128)],
+            ],
+            [  # SA2: input 64+128+128=320 (+3)
+                [(323, 64), (64, 64), (64, 128)],
+                [(323, 128), (128, 128), (128, 256)],
+                [(323, 128), (128, 128), (128, 256)],
+            ],
+            [[(643, 256), (256, 512), (512, 1024)]],  # GroupAll: 128+256+256+3
+        ]
+        for i, scales in enumerate(specs):
+            for s, spec in enumerate(scales):
+                for k, (cin, cout) in enumerate(spec):
+                    add_conv(f"SA_modules.{i}.mlps.{s}.{3 * k}", cin, cout)
+                    add_bn(f"SA_modules.{i}.mlps.{s}.{3 * k + 1}", cout)
+        sd["fc_layer.0.weight"] = np.zeros((512, 1024), np.float32)
+        add_bn("fc_layer.1", 512)
+        sd["fc_layer.3.weight"] = np.zeros((256, 512), np.float32)
+        add_bn("fc_layer.4", 256)
+        sd["fc_layer.7.weight"] = np.zeros((40, 256), np.float32)
+        sd["fc_layer.7.bias"] = np.zeros(40, np.float32)
+
+        converted = models.convert_pointnetpp_state_dict(sd)
+        model = models.PointNet2ClassificationMSG()
+        init_vars = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 1024, 3)),
+            train=False,
+        )
+        conv_shapes = jax.tree.map(jnp.shape, converted)
+        init_shapes = jax.tree.map(jnp.shape, init_vars)
+        assert conv_shapes == init_shapes
+
     def test_grad_flows_through_ssg(self):
         model = models.PointNet2ClassificationSSG()
         key = jax.random.PRNGKey(0)
