@@ -156,6 +156,31 @@ def test_full_pipeline(workdir, trained_victim):
         assert os.path.isfile(os.path.join(saved_dir, "metric", "k8.mat"))
 
 
+def test_attack_bf16_victim_flag(workdir, trained_victim):
+    """--victim_dtype bfloat16 drives the whole CLI path; success is still
+    measured by the f32 victim re-evaluation."""
+    modeldir, _ = trained_victim
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+
+    aargs = ap().parse_args(
+        [
+            "--attack", "GeoA3",
+            "--attack_label", "Untarget",
+            "--data_dir_file", "synthetic:2:64",
+            "--npoint", "64",
+            "--binary_max_steps", "1",
+            "--iter_max_steps", "3",
+            "--curv_loss_knn", "4",
+            "-b", "4",
+            "--checkpoint", modeldir,
+            "--victim_dtype", "bfloat16",
+            "--id", "7",
+        ]
+    )
+    saved_dir = attack_main(aargs)
+    assert os.path.isfile(os.path.join(saved_dir, "attack_result.txt"))
+
+
 def test_eval_mode_no_attack(workdir, trained_victim):
     """--attack None evaluates clean accuracy (reference main_attack.py:212-224)."""
     modeldir, _ = trained_victim
