@@ -80,4 +80,9 @@ class AttackConfig:
         if self.dis_loss_type == "L2":
             assert self.hd_loss_weight == 0
         assert self.optim in ("adam", "sgd"), "Not support such optimizer."
+        if self.curv_knn_refresh_every > 1:
+            assert self.iter_max_steps % self.curv_knn_refresh_every == 0, (
+                "iter_max_steps must be a multiple of curv_knn_refresh_every "
+                "(the refresh is a nested scan over blocks of that length)"
+            )
         return self

@@ -299,18 +299,6 @@ def make_attack_fn(
                 key, k_jit, k_fps, k_eval = jax.random.split(key, 4)
                 input_all = periodical_pc + offset
 
-                # --- lazy self-kNN refresh (TPU perf option, exact when 1) ---
-                if lazy_knn:
-                    self_idx = jax.lax.cond(
-                        step % cfg.curv_knn_refresh_every == 0,
-                        lambda: ops.knn_points(
-                            jax.lax.stop_gradient(input_all),
-                            jax.lax.stop_gradient(input_all),
-                            k=cfg.curv_loss_knn + 1,
-                        ).idx,
-                        lambda: self_idx,
-                    )
-
                 # --- tangent jitter refresh every K steps (reference :312-317) ---
                 if cfg.is_pre_jitter_input:
                     # Reference estimates the jitter from the CURRENT (post-
@@ -403,9 +391,37 @@ def make_attack_fn(
                 offset0, opt_state0, best, it_loss0, it_score0, jitter0,
                 self_idx0, k_scan,
             )
-            carry, loss_ys = jax.lax.scan(
-                inner_step, carry0, jnp.arange(cfg.iter_max_steps)
-            )
+            if lazy_knn:
+                # lazy self-kNN refresh (TPU perf option, exact when 1):
+                # a NESTED scan — the adversarial self-kNN is recomputed once
+                # per block of `curv_knn_refresh_every` steps and held fixed
+                # inside the block. A per-step `lax.cond` measured SLOWER
+                # than exact (the cond breaks XLA fusion in the hot body);
+                # the nested scan keeps every inner step cond-free.
+                K = cfg.curv_knn_refresh_every
+
+                def outer_step(carry, blk):
+                    input_all = jax.lax.stop_gradient(
+                        periodical_pc + carry[0]
+                    )
+                    self_idx = ops.knn_points(
+                        input_all, input_all, k=cfg.curv_loss_knn + 1
+                    ).idx
+                    carry = carry[:6] + (self_idx,) + carry[7:]
+                    return jax.lax.scan(
+                        lambda c, i: inner_step(c, blk * K + i),
+                        carry,
+                        jnp.arange(K),
+                    )
+
+                carry, loss_ys = jax.lax.scan(
+                    outer_step, carry0, jnp.arange(cfg.iter_max_steps // K)
+                )
+                loss_ys = loss_ys.reshape(cfg.iter_max_steps, b)
+            else:
+                carry, loss_ys = jax.lax.scan(
+                    inner_step, carry0, jnp.arange(cfg.iter_max_steps)
+                )
             best, it_score = carry[2], carry[4]
             return best, it_score, loss_ys
 

@@ -149,6 +149,14 @@ def build_parser() -> argparse.ArgumentParser:
         "steps instead of every step (1 = exact reference behaviour); the "
         "point set drifts ~lr per step so small K is near-exact",
     )
+    parser.add_argument(
+        "--start_batch", default=0, type=int,
+        help="resume a killed run: skip the first K batches (their outputs "
+        "are already in the experiment dir); the final success rate is then "
+        "recounted from the saved .mat files. The CLI writes the number of "
+        "completed batches to <saved_dir>/batches_done.txt after each batch "
+        "so a wrapper can restart the process from where it died",
+    )
     return parser
 
 
@@ -300,9 +308,17 @@ def main(args) -> str:
     inst_of_name: dict[str, int] = {}
     t_start = time.time()
 
+    progress_path = os.path.join(saved_dir, "batches_done.txt")
+
     batches = list(gdata.batched(dataset, args.batch_size))
     for i, (pc, normal, gt, target) in enumerate(batches):
         b = pc.shape[0]
+        if i < args.start_batch:
+            # resumed run: batch already attacked by a previous process;
+            # keep the counters aligned so instance indices stay correct
+            cnt_ins += b // num_attack_classes
+            cnt_all += b
+            continue
         if target is None:
             target = gt.copy()
         # pad short batches so the compiled program is reused
@@ -418,6 +434,8 @@ def main(args) -> str:
 
         cnt_ins += b // num_attack_classes
         cnt_all += b
+        with open(progress_path, "w") as f:
+            f.write(str(i + 1))
         rate = num_attack_success / float(cnt_all) * 100
         print(
             f"[{i + 1}/{len(batches)}] success so far: {rate:.2f}% "
@@ -430,6 +448,20 @@ def main(args) -> str:
     if cli_rec is not None:
         cli_rec.save()
         cli_rec.plot()
+
+    if args.start_batch > 0:
+        # resumed run: this process only saw the tail batches; recount the
+        # successes of the whole run from the saved per-instance .mat files
+        # (one unique (instance, expect-target) pair per success)
+        import re
+
+        pat = re.compile(r"adv_(\d+)_gt\d+_attack\d+_expect(\d+)\.mat")
+        pairs = set()
+        for fname in os.listdir(os.path.join(saved_dir, "Mat")):
+            m = pat.match(fname)
+            if m:
+                pairs.add((int(m.group(1)), int(m.group(2))))
+        num_attack_success = len(pairs)
 
     rate = num_attack_success / float(cnt_all) * 100
     print(f"attack success: {rate:.2f}\n")
