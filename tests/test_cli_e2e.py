@@ -200,6 +200,44 @@ def test_eval_mode_no_attack(workdir, trained_victim):
     assert "Evaluating_0" in saved_dir
 
 
+def test_attack_resume_start_batch(workdir, trained_victim):
+    """--start_batch resumes a killed run: skipped batches keep the counters
+    aligned, batches_done.txt tracks progress, and the final success rate is
+    recounted from the saved per-instance .mat files of the WHOLE run."""
+    modeldir, _ = trained_victim
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+
+    base = [
+        "--attack", "GeoA3",
+        "--attack_label", "Untarget",
+        "--data_dir_file", "synthetic:4:64",
+        "--npoint", "64",
+        "--binary_max_steps", "1",
+        "--iter_max_steps", "10",
+        "--curv_loss_knn", "4",
+        "-b", "8",
+        "--checkpoint", modeldir,
+        "--id", "9",
+    ]
+    saved_dir = attack_main(ap().parse_args(base))
+    done = int(open(os.path.join(saved_dir, "batches_done.txt")).read())
+    assert done >= 2
+    full_rate = float(
+        open(os.path.join(saved_dir, "attack_result.txt"))
+        .read().strip().splitlines()[-1].split(":")[1]
+    )
+    n_mats = len(os.listdir(os.path.join(saved_dir, "Mat")))
+
+    # resume from the last batch: the re-attacked tail may overwrite its own
+    # mats but the recount must cover the whole run
+    attack_main(ap().parse_args(base + ["--start_batch", str(done - 1)]))
+    lines = open(os.path.join(saved_dir, "attack_result.txt")).read().strip()
+    resumed_rate = float(lines.splitlines()[-1].split(":")[1])
+    # unique (instance, target) success pairs can only stay or grow
+    assert resumed_rate >= full_rate - 1e-6
+    assert len(os.listdir(os.path.join(saved_dir, "Mat"))) >= n_mats
+
+
 def test_attack_with_save_normal(workdir, trained_victim):
     """--is_save_normal estimates normals against a dense cloud and stores
     them in the per-instance .mat (reference main_attack.py:241-247,269-271)."""
