@@ -495,10 +495,10 @@ def _write_attack_metrics(
     # match each adv instance back to its clean cloud: by the explicit index
     # recorded at save time; filename parsing only covers files left over
     # from earlier runs into the same experiment dir
-    cds, hds = [], []
     clean_by_idx = {i: dataset.data[i] for i in range(len(dataset))}
     inst_of_name = inst_of_name or {}
-    for path in adv_ds.files:
+    advs, cleans = [], []
+    for fi, path in enumerate(adv_ds.files):
         stem = os.path.basename(path)
         if stem in inst_of_name:
             inst = inst_of_name[stem]
@@ -506,10 +506,32 @@ def _write_attack_metrics(
             inst = int(stem.split("_")[1]) - dataset.start_index
         if inst not in clean_by_idx:
             continue
-        adv_pc, _, _ = adv_ds[adv_ds.files.index(path)]
-        clean = clean_by_idx[inst]
-        cds.append(float(L.chamfer_loss(adv_pc[None], clean[None])[0]))
-        hds.append(float(L.hausdorff_loss(adv_pc[None], clean[None])[0]))
+        adv_pc, _, _ = adv_ds[fi]
+        if adv_pc.shape != clean_by_idx[inst].shape:
+            continue
+        advs.append(adv_pc)
+        cleans.append(clean_by_idx[inst])
+
+    # ONE jitted batched program over chunks (a per-file eager loop costs a
+    # full host round-trip per cloud — hours over a tunnelled runtime)
+    cds, hds = [], []
+    if advs:
+        chunk = 128
+
+        @jax.jit
+        def _cd_hd(a, c):
+            return L.chamfer_loss(a, c), L.hausdorff_loss(a, c)
+
+        for s in range(0, len(advs), chunk):
+            a = np.stack(advs[s : s + chunk])
+            c = np.stack(cleans[s : s + chunk])
+            m = len(a)
+            if m < chunk:  # pad so the compiled program is reused
+                a = np.concatenate([a, a[:1].repeat(chunk - m, 0)])
+                c = np.concatenate([c, c[:1].repeat(chunk - m, 0)])
+            cd, hd = _cd_hd(jnp.asarray(a), jnp.asarray(c))
+            cds.extend(np.asarray(cd)[:m].tolist())
+            hds.extend(np.asarray(hd)[:m].tolist())
     metrics = {
         "success_rate_percent": success_rate,
         "num_successful": len(adv_ds),
