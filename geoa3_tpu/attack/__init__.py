@@ -2,6 +2,10 @@
 
 from geoa3_tpu.attack.config import AttackConfig
 from geoa3_tpu.attack.engine import AttackResult, attack, make_attack_fn
+from geoa3_tpu.attack.reconstruct import (
+    alpha_shape_mesh,
+    resample_reconstruct_from_pc,
+)
 from geoa3_tpu.attack.project import (
     estimate_normal,
     estimate_normal_via_ori_normal,
@@ -26,4 +30,6 @@ __all__ = [
     "estimate_normal_via_ori_normal",
     "get_perpendicular_jitter",
     "jitter_input",
+    "alpha_shape_mesh",
+    "resample_reconstruct_from_pc",
 ]

@@ -369,3 +369,48 @@ class TestVirscanAssembly:
         assert dense is None
         assert (out["label"].reshape(-1) == c0).all()
         assert out["data"].shape[0] == 3
+
+
+class TestReconstruct:
+    """Alpha-shape reconstruction + resampling (equivalent of the reference's
+    open3d helper, geoA3_attack.py:28-57)."""
+
+    def _sphere(self, n=400, seed=0):
+        rng = np.random.RandomState(seed)
+        v = rng.normal(size=(n, 3))
+        return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+
+    def test_alpha_shape_sphere(self):
+        from geoa3_tpu.attack import alpha_shape_mesh
+
+        pc = self._sphere()
+        verts, faces = alpha_shape_mesh(pc)
+        assert len(faces) > 100
+        # surface triangles index real vertices
+        assert faces.min() >= 0 and faces.max() < len(verts)
+        # outward orientation: face normal roughly along the centroid ray
+        a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        nrm = np.cross(b - a, c - a)
+        center = (a + b + c) / 3
+        frac_out = (np.sum(nrm * center, axis=1) > 0).mean()
+        assert frac_out > 0.95
+
+    def test_resample_reconstruct_roundtrip(self, tmp_path):
+        from geoa3_tpu.attack import resample_reconstruct_from_pc
+        from geoa3_tpu.data.io import read_ply_ascii
+
+        pc = self._sphere()
+        pts, nrm = resample_reconstruct_from_pc(
+            str(tmp_path), "sphere", pc, normal=pc, npoint=256,
+            rng=np.random.RandomState(1),
+        )
+        assert pts.shape == (256, 3) and nrm.shape == (256, 3)
+        # resampled points lie near the unit sphere surface
+        r = np.linalg.norm(pts, axis=1)
+        assert abs(float(r.mean()) - 1.0) < 0.05
+        assert float(np.abs(r - 1).max()) < 0.25
+        # the saved PLY is readable by our own reader
+        verts, _ = read_ply_ascii(str(tmp_path / "sphere.ply"))
+        assert verts.shape == (len(pc), 3)
