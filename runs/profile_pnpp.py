@@ -9,9 +9,9 @@ import time
 from collections import defaultdict
 
 _ARCH = os.environ.get("ARCH", "PointNetPP")
+_DIR = {"PointNetPP_MSG": "msg", "PointNetPP": "pnpp", "PointNet": "flagship"}
 os.chdir(os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "msg" if _ARCH == "PointNetPP_MSG" else "pnpp",
+    os.path.dirname(os.path.abspath(__file__)), _DIR[_ARCH],
 ))
 sys.path.insert(0, "/root/repo")
 import jax
