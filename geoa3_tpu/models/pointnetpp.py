@@ -61,18 +61,119 @@ class _SplitDense(nn.Module):
         return a @ kernel[:wa] + b @ kernel[wa:]
 
 
+class _DenseParam(nn.Module):
+    """Declares (or reads) a Dense kernel at the same tree path nn.Dense
+    would, without computing — lets the fused SA kernel consume the params
+    directly while keeping checkpoints/converters unchanged."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _BNParam(nn.Module):
+    """Declares (or reads) BatchNorm params/stats at nn.BatchNorm's paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
 class SharedMLP(nn.Module):
     """Conv2d-1x1 + BN + ReLU stack over channel-last group tensors.
 
     Accepts either a single tensor or an (xyz_part, features_part) tuple;
     the tuple form feeds the first conv through _SplitDense (same params,
-    no concat)."""
+    no concat).
+
+    Eval mode on TPU routes grouped 3-layer stacks through the fused Pallas
+    SA kernel (ops/pallas/group_mlp_kernel.py): BN folded into each affine,
+    all three layers + the max-pool over nsample computed in VMEM — the
+    unfused path writes ~0.5 GB of interlayer activations to HBM per attack
+    step on SSG SA1. The caller pools via `maxpool_hint`; when the fused
+    path runs, the returned tensor is ALREADY pooled ([b, m, c]) and the
+    caller's jnp.max over nsample is skipped (see PointnetSAModuleMSG)."""
 
     features: Sequence[int]
     bn_momentum: float = 0.9
 
+    def _can_fuse(self, x, maxpool_hint: bool) -> bool:
+        from geoa3_tpu.ops.pallas.group_mlp_kernel import (
+            group_mlp_available,
+            pallas_available,
+        )
+
+        if not (maxpool_hint and pallas_available()):
+            return False
+        if isinstance(x, tuple):
+            gx, gf = x
+            cf = gf.shape[-1]
+        else:
+            gx, cf = x, 0
+            if gx.shape[-1] != 3:
+                return False  # features-only grouping (use_xyz=False)
+        if gx.ndim != 4 or gx.shape[2] <= 1:
+            return False  # GroupAll ([b, 1, n, c]) handled unfused
+        return group_mlp_available(
+            gx.shape[2], gx.shape[1], tuple(self.features), cf
+        )
+
+    def _fused(self, x) -> jax.Array:
+        from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
+
+        if isinstance(x, tuple):
+            gx, gf = x
+            cf = gf.shape[-1]
+        else:
+            gx, gf, cf = x, None, 0
+        b, m, ns, _ = gx.shape
+        dtype = gx.dtype
+        ws_and_bs = []
+        cin = 3 + cf
+        for i, f in enumerate(self.features):
+            k = _DenseParam((cin, f), name=f"conv{i}")()
+            scale, bias, mean, var = _BNParam(f, name=f"bn{i}")()
+            s = scale / jnp.sqrt(var + BN_EPS)
+            ws_and_bs.append((k * s[None, :]).astype(dtype))
+            ws_and_bs.append(((bias - mean * s)[None, :]).astype(dtype))
+            cin = f
+        # planes layout [b, 8, m*ns] (a [..., 3]-minor tensor pads 3 lanes
+        # to 128 on TPU)
+        gxp = gx.transpose(0, 3, 1, 2).reshape(b, 3, m * ns)
+        gxp = jnp.concatenate(
+            [gxp, jnp.zeros((b, 5, m * ns), gxp.dtype)], axis=1
+        )
+        out = group_mlp_maxpool(
+            gxp, gf, ns, dtype == jnp.float32, tuple(ws_and_bs)
+        )
+        return out.astype(dtype)
+
     @nn.compact
-    def __call__(self, x, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x, train: bool = False, maxpool_hint: bool = False
+    ) -> jax.Array:
+        if not train and self._can_fuse(x, maxpool_hint):
+            return self._fused(x)
         for i, f in enumerate(self.features):
             if i == 0 and isinstance(x, tuple):
                 x = _SplitDense(f, name="conv0")(*x)
@@ -85,6 +186,8 @@ class SharedMLP(nn.Module):
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)
+        if maxpool_hint:
+            x = jnp.max(x, axis=2)  # max over nsample -> [b, m, c_out]
         return x
 
 
@@ -167,8 +270,7 @@ class PointnetSAModuleMSG(nn.Module):
                 tuple(self.mlps[i]),
                 bn_momentum=self.bn_momentum,
                 name=f"mlp{i}",
-            )(grouped, train=train)
-            h = jnp.max(h, axis=2)  # max over nsample -> [b, m, c_out]
+            )(grouped, train=train, maxpool_hint=True)  # pooled [b, m, c]
             outs.append(h)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

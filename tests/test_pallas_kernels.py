@@ -203,3 +203,119 @@ class TestScatter3T:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2
         )
+
+
+class TestGroupMLPKernel:
+    """Fused SA MLP+maxpool vs the unfused composition (interpret mode)."""
+
+    def _unfused(self, gx4, gf4, ws_and_bs):
+        # gx4 [b,m,ns,3], gf4 [b,m,ns,cf]|None; same folded affine+relu stack
+        x = gx4 if gf4 is None else jnp.concatenate([gx4, gf4], axis=-1)
+        for i in range(3):
+            w, bias = ws_and_bs[2 * i], ws_and_bs[2 * i + 1]
+            x = jax.nn.relu(x @ w + bias[0])
+        return jnp.max(x, axis=2)
+
+    def _planes(self, gx4):
+        b, m, ns, _ = gx4.shape
+        gxp = gx4.transpose(0, 3, 1, 2).reshape(b, 3, m * ns)
+        return jnp.concatenate(
+            [gxp, jnp.zeros((b, 5, m * ns), gxp.dtype)], axis=1
+        )
+
+    def _make(self, rng, b, m, ns, cf, widths):
+        gx = jnp.asarray(rng.randn(b, m, ns, 3).astype(np.float32))
+        gf = (
+            jnp.asarray(rng.randn(b, m, ns, cf).astype(np.float32))
+            if cf
+            else None
+        )
+        ws = []
+        cin = 3 + cf
+        for w_ in widths:
+            ws.append(jnp.asarray(rng.randn(cin, w_).astype(np.float32) * 0.3))
+            ws.append(jnp.asarray(rng.randn(1, w_).astype(np.float32) * 0.1))
+            cin = w_
+        return gx, gf, tuple(ws)
+
+    @pytest.mark.parametrize(
+        "m,ns,cf,widths",
+        [
+            (16, 8, 0, (16, 16, 32)),       # SA1-like, xyz only
+            (8, 8, 128, (32, 32, 64)),      # SA2-like, tuple input
+            (1, 16, 128, (32, 64, 128)),    # GroupAll-like (m=1)
+        ],
+    )
+    def test_forward_matches_unfused(self, rng, m, ns, cf, widths):
+        from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
+
+        gx, gf, ws = self._make(rng, 2, m, ns, cf, widths)
+        ref = self._unfused(gx, gf, ws)
+        out = group_mlp_maxpool(self._planes(gx), gf, ns, True, ws)
+        # split-bf16 3-pass contract: ~2^-18 per-product error accumulating
+        # over the contraction dim (see kernel docstring)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_grad_matches_unfused(self, rng):
+        from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
+
+        m, ns, cf, widths = 8, 8, 128, (32, 32, 64)
+        gx, gf, ws = self._make(rng, 2, m, ns, cf, widths)
+        tgt = jnp.asarray(rng.randn(2, m, widths[-1]).astype(np.float32))
+
+        def loss_ref(gx4, gf4):
+            return jnp.sum((self._unfused(gx4, gf4, ws) - tgt) ** 2)
+
+        def loss_fused(gx4, gf4):
+            out = group_mlp_maxpool(self._planes(gx4), gf4, ns, True, ws)
+            return jnp.sum((out - tgt) ** 2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(gx, gf)
+        gk = jax.grad(loss_fused, argnums=(0, 1))(gx, gf)
+        np.testing.assert_allclose(
+            np.asarray(gk[0]), np.asarray(gr[0]), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk[1]), np.asarray(gr[1]), rtol=2e-3, atol=2e-3
+        )
+
+    def test_grad_with_maxpool_ties(self, rng):
+        """Duplicate neighbours (ball-query padding) create exact max-pool
+        ties; the kernel must split gradients evenly like jnp.max's VJP."""
+        from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
+
+        m, ns, widths = 8, 8, (16, 16, 32)
+        gx, _, ws = self._make(rng, 2, m, ns, 0, widths)
+        gx = gx.at[:, :, 1::2].set(gx[:, :, ::2])  # every row duplicated
+
+        def loss_ref(gx4):
+            return jnp.sum(self._unfused(gx4, None, ws) ** 2)
+
+        def loss_fused(gx4):
+            return jnp.sum(
+                group_mlp_maxpool(self._planes(gx4), None, ns, True, ws) ** 2
+            )
+
+        gr = jax.grad(loss_ref)(gx)
+        gk = jax.grad(loss_fused)(gx)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=3e-4, atol=3e-4
+        )
+
+    def test_model_forced_fusion_matches_unfused(self, rng, monkeypatch):
+        """PN++ SSG logits with the fused SA path forced on (interpret mode)
+        must match the unfused eval forward."""
+        import geoa3_tpu.ops.pallas.group_mlp_kernel as gmk
+        from geoa3_tpu.models.pointnetpp import PointNet2ClassificationSSG
+
+        model = PointNet2ClassificationSSG(classes=40)
+        pc = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
+        ref = model.apply(variables, pc, train=False)
+        monkeypatch.setattr(gmk, "pallas_available", lambda: True)
+        fused = model.apply(variables, pc, train=False)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
+        )
