@@ -352,10 +352,20 @@ def _interpret() -> bool:
 def group_mlp_available(
     ns: int, m: int, mlp_widths: Sequence[int], cf: int
 ) -> bool:
-    """Shape gate: 3-layer MLPs over lane-friendly widths, grouped (not
-    GroupAll) modules only."""
+    """Shape gate for the fused SA kernel — OPT-IN via
+    GEOA3_ENABLE_GROUPMLP=1.
+
+    Measured on v5e at the SSG attack shapes (b=16, SA1 8192 groups of 64):
+    the fused step is SLOWER than XLA's unfused pipeline (f32 23.8 vs
+    9.8 ms/step, bf16 9.4 vs 7.7) — the grid degenerates into ~2700 small
+    tiles per attack step and per-tile pipeline overhead dwarfs the
+    interlayer-HBM savings, which at bf16 are only ~0.5 ms to begin with.
+    Kept (tested, exact-VJP) for larger-batch regimes and future tile-size
+    tuning; not worth deleting the only fused-victim path over."""
     import os
 
+    if not os.environ.get("GEOA3_ENABLE_GROUPMLP"):
+        return False
     flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
     if "all" in flags or "groupmlp" in flags:
         return False

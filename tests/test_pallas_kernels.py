@@ -314,6 +314,7 @@ class TestGroupMLPKernel:
         pc = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
         variables = model.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
         ref = model.apply(variables, pc, train=False)
+        monkeypatch.setenv("GEOA3_ENABLE_GROUPMLP", "1")
         monkeypatch.setattr(gmk, "pallas_available", lambda: True)
         fused = model.apply(variables, pc, train=False)
         np.testing.assert_allclose(
