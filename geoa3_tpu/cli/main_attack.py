@@ -150,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
         "point set drifts ~lr per step so small K is near-exact",
     )
     parser.add_argument(
+        "--margin_retry", action="store_true", default=False,
+        help="re-attack failed (instance, target) pairs with the Margin "
+        "loss after the main pass; on the targeted All-mode protocol this "
+        "closed ~half the CE failures (93.6%% -> 96.9%% measured) at <1.2x "
+        "one pass's compute — the residual gap is loss-shape-bound, not "
+        "budget-bound (see runs/all_mode_probe.py)",
+    )
+    parser.add_argument(
         "--start_batch", default=0, type=int,
         help="resume a killed run: skip the first K batches (their outputs "
         "are already in the experiment dir); the final success rate is then "
@@ -290,15 +298,15 @@ def main(args) -> str:
         if args.victim_dtype == "bfloat16"
         else logits_fn
     )
-    def build_attack_fn():
+    def build_attack_fn(acfg=cfg):
         if args.mesh_data_parallel:
             return parallel.make_sharded_attack_fn(
-                opt_logits_fn, cfg, parallel.make_mesh()
+                opt_logits_fn, acfg, parallel.make_mesh()
             )
         # host-driven binary search: one device program per search step,
         # bounding execution time per program (long-running executions are
         # unreliable on tunnelled TPU runtimes)
-        return make_attack_fn(opt_logits_fn, cfg, host_binary_loop=True)
+        return make_attack_fn(opt_logits_fn, acfg, host_binary_loop=True)
 
     attack_fn = build_attack_fn()
 
@@ -306,6 +314,7 @@ def main(args) -> str:
     cnt_ins = dataset.start_index
     cnt_all = 0
     inst_of_name: dict[str, int] = {}
+    failed: list = []  # (pc, normal, gt, target, global instance idx)
     t_start = time.time()
 
     progress_path = os.path.join(saved_dir, "batches_done.txt")
@@ -431,6 +440,11 @@ def main(args) -> str:
                 gio.save_point_obj(
                     os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
                 )
+            elif args.margin_retry:
+                failed.append(
+                    (pc[k], normal[k], int(gt[k]), int(target[k]),
+                     cnt_ins + k // num_attack_classes)
+                )
 
         cnt_ins += b // num_attack_classes
         cnt_all += b
@@ -441,6 +455,69 @@ def main(args) -> str:
             f"[{i + 1}/{len(batches)}] success so far: {rate:.2f}% "
             f"({format_time(time.time() - t_start)})"
         )
+
+    margin_closed = 0
+    if args.margin_retry and failed:
+        # second pass over ONLY the failed pairs with the Margin loss: the
+        # probe measured it closes ~half of what CE cannot flip, while more
+        # CE binary-search budget closes little (runs/all_mode_probe.py)
+        import dataclasses as _dc
+
+        print(f"margin retry: re-attacking {len(failed)} failed pairs")
+        margin_fn = build_attack_fn(_dc.replace(cfg, cls_loss_type="Margin"))
+        for s in range(0, len(failed), full_b):
+            chunk = failed[s : s + full_b]
+            fpc = np.stack([f[0] for f in chunk])
+            fnrm = np.stack([f[1] for f in chunk])
+            fgt = np.asarray([f[2] for f in chunk])
+            ftg = np.asarray([f[3] for f in chunk])
+            nb = len(chunk)
+            if nb < full_b:
+                padn = full_b - nb
+                fpc = np.concatenate([fpc, fpc[:1].repeat(padn, 0)])
+                fnrm = np.concatenate([fnrm, fnrm[:1].repeat(padn, 0)])
+                fgt = np.concatenate([fgt, fgt[:1].repeat(padn, 0)])
+                ftg = np.concatenate([ftg, ftg[:1].repeat(padn, 0)])
+            key, mkey = jax.random.split(key)
+            for attempt in range(3):
+                try:
+                    res = margin_fn(
+                        jnp.asarray(fpc), jnp.asarray(fnrm),
+                        jnp.asarray(fgt), jnp.asarray(ftg), mkey,
+                    )
+                    adv_pc = np.asarray(res.best_attack)[:nb]
+                    succ = np.asarray(res.success)[:nb]
+                    break
+                except Exception as e:
+                    if attempt == 2:
+                        raise
+                    print(f"[warn] margin-retry batch failed ({e}); "
+                          f"retrying ({attempt + 1}/3)", flush=True)
+                    time.sleep(30)
+                    jax.clear_caches()
+                    margin_fn = build_attack_fn(
+                        _dc.replace(cfg, cls_loss_type="Margin")
+                    )
+            adv_pred = np.asarray(
+                logits_fn(jnp.asarray(adv_pc))
+            ).argmax(-1)
+            for k, f in enumerate(chunk):
+                if not succ[k]:
+                    continue
+                margin_closed += 1
+                num_attack_success += 1
+                name = gio.adversarial_mat_name(
+                    f[4], f[2], int(adv_pred[k]), f[3]
+                )
+                inst_of_name[name + ".mat"] = f[4] - dataset.start_index
+                gio.save_adversarial_mat(
+                    os.path.join(saved_dir, "Mat", name + ".mat"),
+                    adv_pc[k], f[2], int(adv_pred[k]),
+                )
+                gio.save_point_obj(
+                    os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
+                )
+        print(f"margin retry closed {margin_closed}/{len(failed)}")
 
     if cci is not None:
         cci.save()
@@ -467,6 +544,10 @@ def main(args) -> str:
     print(f"attack success: {rate:.2f}\n")
     with open(os.path.join(saved_dir, "attack_result.txt"), "at") as f:
         f.write(f"attack success: {rate:.2f}\n")
+        if args.margin_retry and failed:
+            f.write(
+                f"margin retry closed: {margin_closed}/{len(failed)}\n"
+            )
 
     # extra (beyond the reference): geometric-quality metrics of the
     # successful adversarial clouds, for the CD/HD parity audit
