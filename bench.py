@@ -63,11 +63,21 @@ def _traced_ms_per_step(fn, args):
             return None
         with gzip.open(paths[0], "rt") as f:
             tr = json.load(f)
+        events = tr.get("traceEvents", [])
+        # only DEVICE-track events count: the in-trace host fetch (~2.4 s)
+        # would otherwise win the max and silently replace the module time
+        dev_pids = {
+            ev.get("pid")
+            for ev in events
+            if ev.get("ph") == "M"
+            and ev.get("name") == "process_name"
+            and "device:" in str(ev.get("args", {}).get("name", ""))
+        }
         top = max(
             (
                 ev.get("dur", 0)
-                for ev in tr.get("traceEvents", [])
-                if ev.get("ph") == "X"
+                for ev in events
+                if ev.get("ph") == "X" and ev.get("pid") in dev_pids
             ),
             default=0,
         )

@@ -231,6 +231,7 @@ def make_attack_fn(
     logits_fn: Callable[[jax.Array], jax.Array],
     cfg: AttackConfig,
     host_binary_loop: bool = False,
+    eval_logits_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Callable[..., AttackResult]:
     """Build the whole-attack program for a fixed config.
 
@@ -245,9 +246,24 @@ def make_attack_fn(
     calls, so the only cost is binary_max_steps dispatches — but each device
     program is bounded to iter_max_steps, which matters on runtimes that kill
     long-running executions. Do not wrap the result in an outer jax.jit.
+
+    `eval_logits_fn` (optional) replaces `logits_fn` for the SUCCESS /
+    best-tracking eval pass only; the grad pass keeps `logits_fn`. This is
+    how `--victim_dtype bfloat16` stays honest: a C&W binary search drives
+    perturbations to the decision BOUNDARY, so an attack that flips the
+    bf16 victim sits close enough to the boundary that the f32 victim
+    disagrees on ~half the instances (measured: 137/250 on SSG) — success
+    must therefore be judged by the deployment-precision victim every
+    step, while the gradient forward can stay MXU-native bf16. Costs one
+    extra f32 forward per step (eval is fwd-only, no grad).
     """
     cfg = cfg.validate()
     targeted = cfg.targeted
+    if eval_logits_fn is None:
+        eval_logits_fn = logits_fn
+        separate_eval = False
+    else:
+        separate_eval = True
 
     def make_binary_step(pc_ori, normal_ori, gt_target, target, kappa_ori):
         """Returns binary_step(carry, bs_idx) -> (carry, loss_ys); closes over
@@ -333,11 +349,14 @@ def make_attack_fn(
                 # --- eval / best tracking (reference :288-310) ---
                 if subsample:
                     success, output_label = _ensemble_eval(
-                        logits_fn, input_all, target, gt_target, cfg, k_eval
+                        eval_logits_fn, input_all, target, gt_target, cfg,
+                        k_eval,
                     )
-                elif cfg.is_pre_jitter_input:
-                    # grad pass saw jittered input; eval must see the clean cloud
-                    logits_eval = logits_fn(input_all)
+                elif cfg.is_pre_jitter_input or separate_eval:
+                    # grad pass saw jittered input (or ran at a different
+                    # precision); eval must see the clean cloud through the
+                    # eval victim
+                    logits_eval = eval_logits_fn(input_all)
                     output_label = jnp.argmax(logits_eval, axis=-1)
                     success = _compare(output_label, target, gt_target, targeted)
                 else:
@@ -477,7 +496,8 @@ def make_attack_fn(
     def attack_fn(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
         if cfg.is_partial_var:
             return _attack_partial_var(
-                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
+                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key,
+                eval_logits_fn=eval_logits_fn if separate_eval else None,
             )
         kappa_ori = _kappa(pc_ori, normal_ori)
         binary_step = make_binary_step(
@@ -506,7 +526,8 @@ def make_attack_fn(
     def attack_fn_host(pc_ori, normal_ori, gt_target, target, key) -> AttackResult:
         if cfg.is_partial_var:
             return _attack_partial_var(
-                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key
+                logits_fn, cfg, pc_ori, normal_ori, gt_target, target, key,
+                eval_logits_fn=eval_logits_fn if separate_eval else None,
             )
         pc_ori = jnp.asarray(pc_ori)
         normal_ori = jnp.asarray(normal_ori)
@@ -526,7 +547,8 @@ def make_attack_fn(
 
 
 def _attack_partial_var(
-    logits_fn, cfg: AttackConfig, pc_ori, normal_ori, gt_target, target, key
+    logits_fn, cfg: AttackConfig, pc_ori, normal_ori, gt_target, target, key,
+    eval_logits_fn=None,
 ) -> AttackResult:
     """Partial-variable mode: optimise offsets on a kNN patch, re-picked every
     `partial_reinit_every` steps (reference geoA3_attack.py:239-262,279-281).
@@ -595,7 +617,10 @@ def _attack_partial_var(
                 (_, (aux, input_all)), grads = grad_fn(
                     part, nbr_idx, periodical_pc, const
                 )
-                output_label = jnp.argmax(aux.logits, axis=-1)
+                if eval_logits_fn is not None:
+                    output_label = jnp.argmax(eval_logits_fn(input_all), axis=-1)
+                else:
+                    output_label = jnp.argmax(aux.logits, axis=-1)
                 success = _compare(output_label, target, gt_target, targeted)
                 metric = aux.constrain_loss
                 better = success & (metric < best.loss)

@@ -61,31 +61,42 @@ def alpha_shape_mesh(
     elen = np.linalg.norm(pc[edges[0]] - pc[edges[1]], axis=-1)
     keep = tets[elen.max(axis=1) <= alpha]
 
-    # boundary faces: sorted triple seen exactly once among kept tets
-    count: dict = {}
+    # boundary faces: sorted triple owned by exactly ONE kept tet; remember
+    # the owning tet's opposite vertex — it orients the face geometrically
+    # (a sorted triple's winding is arbitrary)
+    face_opp: dict = {}
     for t in keep:
         for omit in range(4):
             f = tuple(sorted(np.delete(t, omit)))
-            count[f] = count.get(f, 0) + 1
-    tri = np.asarray(
-        [f for f, c in count.items() if c == 1], np.int32
-    ).reshape(-1, 3)
-    if len(tri) == 0:
-        return pc.astype(np.float32), tri
+            face_opp[f] = None if f in face_opp else int(t[omit])
+    boundary = [(f, o) for f, o in face_opp.items() if o is not None]
+    if not boundary:
+        return pc.astype(np.float32), np.zeros((0, 3), np.int32)
+    tri = np.asarray([f for f, _ in boundary], np.int32)
+    opp = np.asarray([o for _, o in boundary], np.int64)
 
+    # orient every face AWAY from its owning tet (away from the solid):
+    # outward on the outer skin, into the cavity on the inner skin
     a, b, c = pc[tri[:, 0]], pc[tri[:, 1]], pc[tri[:, 2]]
     geo_n = np.cross(b - a, c - a)
+    toward_opp = np.sum(geo_n * (pc[opp] - a), axis=1) > 0
+    tri[toward_opp] = tri[toward_opp][:, [0, 2, 1]]
+    geo_n[toward_opp] *= -1.0
+
     if normal is not None:
+        # the kept complex is a thin shell with two skins; the inner skin's
+        # away-from-solid normal points INTO the cavity, i.e. against the
+        # cloud's outward normals — drop it
         normal = np.asarray(normal, np.float64)
         ref = normal[tri].mean(axis=1)  # mean vertex normal per face
-        agree = np.sum(geo_n * ref, axis=1)
-        # inner-side faces (normal against the cloud normals) are the
-        # shell's second skin — drop them; flip the stragglers
-        tri = tri[agree >= 0]
+        tri = tri[np.sum(geo_n * ref, axis=1) >= 0]
     else:
+        # no reference normals: keep both skins (resampling stays uniform
+        # over the surface) but flip everything outward from the centroid
+        # so downstream normals are consistent for star-shaped clouds
         centroid = pc.mean(axis=0)
-        out = np.sum(geo_n * ((a + b + c) / 3 - centroid), axis=1)
-        flip = out < 0
+        ctr = (a + b + c) / 3 - centroid
+        flip = np.sum(geo_n * ctr, axis=1) < 0
         tri[flip] = tri[flip][:, [0, 2, 1]]
     return pc.astype(np.float32), tri
 

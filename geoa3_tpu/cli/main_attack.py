@@ -16,6 +16,7 @@ Differences by design:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 from typing import Optional
@@ -291,24 +292,60 @@ def main(args) -> str:
 
     # one compiled attack program for the fixed padded batch size
     full_b = args.batch_size * num_attack_classes
-    # optionally run the victim in bf16 inside the optimisation loop; the
-    # f32 `logits_fn` above still does the final success re-evaluation
+    # optionally run the victim's GRAD pass in bf16 inside the optimisation
+    # loop; the success/best-tracking eval pass inside the engine then runs
+    # the f32 victim (eval_logits_fn) — a C&W search lands ON the decision
+    # boundary, so bf16-judged successes fail the f32 victim on ~half the
+    # instances (measured 137/250 on SSG before this split)
+    bf16 = args.victim_dtype == "bfloat16"
     opt_logits_fn = (
         make_eval_fn(model, variables, dtype=jnp.bfloat16)
-        if args.victim_dtype == "bfloat16"
+        if bf16
         else logits_fn
     )
+    eval_fn = make_eval_fn(model, variables) if bf16 else None
+
     def build_attack_fn(acfg=cfg):
         if args.mesh_data_parallel:
             return parallel.make_sharded_attack_fn(
-                opt_logits_fn, acfg, parallel.make_mesh()
+                opt_logits_fn, acfg, parallel.make_mesh(),
+                eval_logits_fn=eval_fn,
             )
         # host-driven binary search: one device program per search step,
         # bounding execution time per program (long-running executions are
         # unreliable on tunnelled TPU runtimes)
-        return make_attack_fn(opt_logits_fn, acfg, host_binary_loop=True)
+        return make_attack_fn(
+            opt_logits_fn, acfg, host_binary_loop=True,
+            eval_logits_fn=eval_fn,
+        )
 
     attack_fn = build_attack_fn()
+
+    def run_guarded(runner, builder, fn):
+        """Run `runner(fn)` with the --batch_timeout watchdog and a
+        3-attempt retry across transient TPU worker restarts; `builder()`
+        makes a fresh compiled fn after a failure. Returns (result, fn)."""
+        for attempt in range(3):
+            try:
+                if args.batch_timeout > 0:
+                    import concurrent.futures as cf
+
+                    ex = cf.ThreadPoolExecutor(1)
+                    out = ex.submit(runner, fn).result(
+                        timeout=args.batch_timeout
+                    )
+                    ex.shutdown(wait=False)
+                else:
+                    out = runner(fn)
+                return out, fn
+            except Exception as e:  # jax.errors.JaxRuntimeError on restarts
+                if attempt == 2:
+                    raise
+                print(f"[warn] attack batch failed ({e}); retrying "
+                      f"({attempt + 1}/3)", flush=True)
+                time.sleep(30)
+                jax.clear_caches()
+                fn = builder()
 
     num_attack_success = 0
     cnt_ins = dataset.start_index
@@ -339,10 +376,11 @@ def main(args) -> str:
             target = np.concatenate([target, target[:1].repeat(pad, 0)], 0)
 
         key, atk_key, fps_key = jax.random.split(key, 3)
+
         # the attack program runs minutes per batch; survive transient TPU
         # worker restarts by retrying the batch
-        def run_batch():
-            res = attack_fn(
+        def run_batch(fn):
+            res = fn(
                 jnp.asarray(pc),
                 jnp.asarray(normal),
                 jnp.asarray(gt),
@@ -359,28 +397,8 @@ def main(args) -> str:
                 np.asarray(res.all_loss)[:, :b],
             )
 
-        for attempt in range(3):
-            try:
-                if args.batch_timeout > 0:
-                    import concurrent.futures as cf
-
-                    ex = cf.ThreadPoolExecutor(1)
-                    out = ex.submit(run_batch).result(
-                        timeout=args.batch_timeout
-                    )
-                    ex.shutdown(wait=False)
-                else:
-                    out = run_batch()
-                adv_pc, succ_ind, best_step, all_loss = out
-                break
-            except Exception as e:  # jax.errors.JaxRuntimeError on restarts
-                if attempt == 2:
-                    raise
-                print(f"[warn] attack batch failed ({e}); retrying "
-                      f"({attempt + 1}/3)", flush=True)
-                time.sleep(30)
-                jax.clear_caches()
-                attack_fn = build_attack_fn()
+        out, attack_fn = run_guarded(run_batch, build_attack_fn, attack_fn)
+        adv_pc, succ_ind, best_step, all_loss = out
         gt, target = gt[:b], target[:b]
 
         if cci is not None:
@@ -398,6 +416,14 @@ def main(args) -> str:
             )
         test_adv_logits = np.asarray(logits_fn(jnp.asarray(eval_pc)))
         adv_pred = test_adv_logits.argmax(-1)
+        # success counted like the reference's re-evaluation
+        # (main_attack.py:249-261): the engine's best-tracking success AND
+        # the f32 victim's verdict on the saved cloud (they can differ when
+        # the engine eval used FPS-resampling or — before the eval split —
+        # a bf16 victim)
+        reeval_ok = (
+            (adv_pred == target) if targeted else (adv_pred != gt)
+        )
 
         saved_normal = None
         if args.is_save_normal and dense_dataset is not None:
@@ -417,7 +443,7 @@ def main(args) -> str:
             )
 
         for k in range(b):
-            if succ_ind[k]:
+            if succ_ind[k] and reeval_ok[k]:
                 num_attack_success += 1
                 name = gio.adversarial_mat_name(
                     cnt_ins + k // num_attack_classes,
@@ -464,7 +490,11 @@ def main(args) -> str:
         import dataclasses as _dc
 
         print(f"margin retry: re-attacking {len(failed)} failed pairs")
-        margin_fn = build_attack_fn(_dc.replace(cfg, cls_loss_type="Margin"))
+
+        def build_margin_fn():
+            return build_attack_fn(_dc.replace(cfg, cls_loss_type="Margin"))
+
+        margin_fn = build_margin_fn()
         for s in range(0, len(failed), full_b):
             chunk = failed[s : s + full_b]
             fpc = np.stack([f[0] for f in chunk])
@@ -472,37 +502,64 @@ def main(args) -> str:
             fgt = np.asarray([f[2] for f in chunk])
             ftg = np.asarray([f[3] for f in chunk])
             nb = len(chunk)
-            if nb < full_b:
+            if nb < full_b:  # pad so the compiled programs are reused
                 padn = full_b - nb
                 fpc = np.concatenate([fpc, fpc[:1].repeat(padn, 0)])
                 fnrm = np.concatenate([fnrm, fnrm[:1].repeat(padn, 0)])
                 fgt = np.concatenate([fgt, fgt[:1].repeat(padn, 0)])
                 ftg = np.concatenate([ftg, ftg[:1].repeat(padn, 0)])
-            key, mkey = jax.random.split(key)
-            for attempt in range(3):
-                try:
-                    res = margin_fn(
-                        jnp.asarray(fpc), jnp.asarray(fnrm),
-                        jnp.asarray(fgt), jnp.asarray(ftg), mkey,
+            key, mkey, mfps_key = jax.random.split(key, 3)
+
+            def run_margin(fn):
+                res = fn(
+                    jnp.asarray(fpc), jnp.asarray(fnrm),
+                    jnp.asarray(fgt), jnp.asarray(ftg), mkey,
+                )
+                return (
+                    np.asarray(res.best_attack),
+                    np.asarray(res.success),
+                )
+
+            out, margin_fn = run_guarded(
+                run_margin, build_margin_fn, margin_fn
+            )
+            adv_pc, succ = out
+            # same re-evaluation protocol as the main pass: FPS-resample if
+            # oversized, f32 verdict, evaluated on the PADDED batch so the
+            # compiled shapes are reused
+            eval_pc = adv_pc
+            if adv_pc.shape[1] > args.npoint:
+                eval_pc = np.asarray(
+                    farthest_points_sample(
+                        jnp.asarray(adv_pc), args.npoint, mfps_key
                     )
-                    adv_pc = np.asarray(res.best_attack)[:nb]
-                    succ = np.asarray(res.success)[:nb]
-                    break
-                except Exception as e:
-                    if attempt == 2:
-                        raise
-                    print(f"[warn] margin-retry batch failed ({e}); "
-                          f"retrying ({attempt + 1}/3)", flush=True)
-                    time.sleep(30)
-                    jax.clear_caches()
-                    margin_fn = build_attack_fn(
-                        _dc.replace(cfg, cls_loss_type="Margin")
-                    )
+                )
             adv_pred = np.asarray(
-                logits_fn(jnp.asarray(adv_pc))
+                logits_fn(jnp.asarray(eval_pc))
             ).argmax(-1)
+            reeval_ok = (
+                (adv_pred == ftg) if targeted else (adv_pred != fgt)
+            )
+            saved_normal = None
+            if args.is_save_normal and dense_dataset is not None:
+                dnp = np.stack(
+                    [dense_dataset[f[4] - dataset.start_index].pc[0]
+                     for f in chunk]
+                    + [dense_dataset[0].pc[0]] * (full_b - nb)
+                )
+                dnn = np.stack(
+                    [dense_dataset[f[4] - dataset.start_index].normal[0]
+                     for f in chunk]
+                    + [dense_dataset[0].normal[0]] * (full_b - nb)
+                )
+                saved_normal = np.asarray(
+                    estimate_normal_via_ori_normal(
+                        jnp.asarray(adv_pc), jnp.asarray(dnp),
+                        jnp.asarray(dnn), k=3,
+                    )
+                )
             for k, f in enumerate(chunk):
-                if not succ[k]:
+                if not (succ[k] and reeval_ok[k]):
                     continue
                 margin_closed += 1
                 num_attack_success += 1
@@ -513,6 +570,9 @@ def main(args) -> str:
                 gio.save_adversarial_mat(
                     os.path.join(saved_dir, "Mat", name + ".mat"),
                     adv_pc[k], f[2], int(adv_pred[k]),
+                    est_normal=(
+                        saved_normal[k] if saved_normal is not None else None
+                    ),
                 )
                 gio.save_point_obj(
                     os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
@@ -578,7 +638,10 @@ def _write_attack_metrics(
     # from earlier runs into the same experiment dir
     clean_by_idx = {i: dataset.data[i] for i in range(len(dataset))}
     inst_of_name = inst_of_name or {}
-    advs, cleans = [], []
+    # bucket pairs by (adv shape, clean shape): chamfer/hausdorff are
+    # well-defined across different point counts (point-adding variants,
+    # npoint-trimmed saves), they just need their own compiled shape
+    buckets: dict = {}
     for fi, path in enumerate(adv_ds.files):
         stem = os.path.basename(path)
         if stem in inst_of_name:
@@ -588,29 +651,37 @@ def _write_attack_metrics(
         if inst not in clean_by_idx:
             continue
         adv_pc, _, _ = adv_ds[fi]
-        if adv_pc.shape != clean_by_idx[inst].shape:
-            continue
-        advs.append(adv_pc)
-        cleans.append(clean_by_idx[inst])
+        clean = clean_by_idx[inst]
+        buckets.setdefault((adv_pc.shape, clean.shape), []).append(
+            (adv_pc, clean)
+        )
 
-    # ONE jitted batched program over chunks (a per-file eager loop costs a
-    # full host round-trip per cloud — hours over a tunnelled runtime)
+    # ONE jitted batched program per shape bucket (a per-file eager loop
+    # costs a full host round-trip per cloud — hours over a tunnelled
+    # runtime)
     cds, hds = [], []
-    if advs:
-        chunk = 128
+    chunk = 128
+
+    @functools.lru_cache(maxsize=None)
+    def _cd_hd(shapes):
+        del shapes  # distinct jit cache entry per shape bucket
 
         @jax.jit
-        def _cd_hd(a, c):
+        def f(a, c):
             return L.chamfer_loss(a, c), L.hausdorff_loss(a, c)
 
-        for s in range(0, len(advs), chunk):
-            a = np.stack(advs[s : s + chunk])
-            c = np.stack(cleans[s : s + chunk])
+        return f
+
+    for shapes, pairs in buckets.items():
+        fn = _cd_hd(shapes)
+        for s in range(0, len(pairs), chunk):
+            a = np.stack([p[0] for p in pairs[s : s + chunk]])
+            c = np.stack([p[1] for p in pairs[s : s + chunk]])
             m = len(a)
             if m < chunk:  # pad so the compiled program is reused
                 a = np.concatenate([a, a[:1].repeat(chunk - m, 0)])
                 c = np.concatenate([c, c[:1].repeat(chunk - m, 0)])
-            cd, hd = _cd_hd(jnp.asarray(a), jnp.asarray(c))
+            cd, hd = fn(jnp.asarray(a), jnp.asarray(c))
             cds.extend(np.asarray(cd)[:m].tolist())
             hds.extend(np.asarray(hd)[:m].tolist())
     metrics = {

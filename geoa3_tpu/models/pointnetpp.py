@@ -133,7 +133,8 @@ class SharedMLP(nn.Module):
             if gx.shape[-1] != 3:
                 return False  # features-only grouping (use_xyz=False)
         if gx.ndim != 4 or gx.shape[2] <= 1:
-            return False  # GroupAll ([b, 1, n, c]) handled unfused
+            return False  # degenerate single-sample groups
+        # (GroupAll [b, 1, n, c] also fuses: m=1, R=n is one small tile)
         return group_mlp_available(
             gx.shape[2], gx.shape[1], tuple(self.features), cf
         )

@@ -75,7 +75,7 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
 
 
 def make_sharded_attack_fn(
-    logits_fn: Callable, cfg, mesh: Mesh
+    logits_fn: Callable, cfg, mesh: Mesh, eval_logits_fn: Callable = None
 ) -> Callable:
     """Jit the attack program with the batch sharded over the mesh data axis.
 
@@ -86,7 +86,7 @@ def make_sharded_attack_fn(
     """
     from geoa3_tpu.attack.engine import make_attack_fn
 
-    fn = make_attack_fn(logits_fn, cfg)
+    fn = make_attack_fn(logits_fn, cfg, eval_logits_fn=eval_logits_fn)
     batch = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     return jax.jit(

@@ -412,3 +412,48 @@ class TestHostBinaryLoop:
         np.testing.assert_allclose(
             np.asarray(dev.all_loss), np.asarray(host.all_loss), rtol=1e-4
         )
+
+
+class TestSeparateEvalFn:
+    """eval_logits_fn judges success; logits_fn only drives gradients.
+
+    This is the honesty contract behind --victim_dtype bfloat16: a C&W
+    search lands on the decision boundary, so success must be judged by the
+    deployment-precision victim (measured: 137/250 bf16-only successes
+    failed the f32 victim before the split)."""
+
+    def test_success_judged_by_eval_fn(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from geoa3_tpu.attack import AttackConfig
+        from geoa3_tpu.attack.engine import make_attack_fn
+
+        b, n, classes = 2, 32, 4
+        pc = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.1)
+        nrm = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        gt = jnp.asarray([0, 1])
+
+        def grad_fn(x):  # always claims class 3: grad-path "succeeds"
+            base = jnp.mean(x, axis=(1, 2), keepdims=False)[:, None]
+            return base * 0.01 + jax.nn.one_hot(
+                jnp.full((x.shape[0],), 3), classes
+            )
+
+        def eval_fn(x):  # always predicts the ground truth: never fooled
+            return jax.nn.one_hot(gt, classes) * 10.0
+
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=classes, npoint=n,
+            binary_max_steps=1, iter_max_steps=3, curv_loss_knn=4,
+        )
+        res_shared = make_attack_fn(grad_fn, cfg)(
+            pc, nrm, gt, gt, jax.random.PRNGKey(0)
+        )
+        assert bool(res_shared.success.all()), "grad-fn-only judge succeeds"
+        res_split = make_attack_fn(grad_fn, cfg, eval_logits_fn=eval_fn)(
+            pc, nrm, gt, gt, jax.random.PRNGKey(0)
+        )
+        assert not bool(res_split.success.any()), (
+            "with a separate eval fn, success must be judged by it"
+        )

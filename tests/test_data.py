@@ -414,3 +414,19 @@ class TestReconstruct:
         # the saved PLY is readable by our own reader
         verts, _ = read_ply_ascii(str(tmp_path / "sphere.ply"))
         assert verts.shape == (len(pc), 3)
+
+    def test_inner_skin_dropped_with_normals(self):
+        from geoa3_tpu.attack import alpha_shape_mesh
+
+        pc = self._sphere(600, seed=1)
+        _, faces_both = alpha_shape_mesh(pc)           # both skins kept
+        verts, faces_outer = alpha_shape_mesh(pc, normal=pc)
+        # the thin shell has ~2 skins; the normal-guided filter keeps ~1
+        assert 0 < len(faces_outer) < 0.75 * len(faces_both)
+        # every kept face is genuinely outward (sphere: along the centroid ray)
+        a = verts[faces_outer[:, 0]]
+        b = verts[faces_outer[:, 1]]
+        c = verts[faces_outer[:, 2]]
+        nrm = np.cross(b - a, c - a)
+        ctr = (a + b + c) / 3
+        assert (np.sum(nrm * ctr, axis=1) > 0).all()
