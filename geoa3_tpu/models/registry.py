@@ -61,6 +61,15 @@ def make_eval_fn(
         out = model.apply(variables, pc, train=False)
         return out.astype(jnp.float32) if dtype is not None else out
 
+    if dtype is not None:
+        # XLA:TPU mislowers the bf16 full-victim backward for PointNet at
+        # b>=8: the input gradient compiles to EXACTLY zero (b=4 is fine,
+        # every sub-op probed healthy in isolation — a fusion-level codegen
+        # bug). jax.checkpoint rematerialises the forward inside the
+        # backward, which restructures the fusions around the bug (measured:
+        # grad norm 0.56 vs 0.0 at b=16) and cuts activation memory.
+        logits_fn = jax.checkpoint(logits_fn)
+
     return logits_fn
 
 
