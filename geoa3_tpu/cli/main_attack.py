@@ -140,9 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--victim_dtype", default="float32",
         choices=("float32", "bfloat16"),
-        help="dtype for the victim forward/backward INSIDE the optimisation "
-        "loop (bfloat16 = MXU-native, ~2x victim time); the final success "
-        "re-evaluation always runs the float32 victim",
+        help="dtype for the victim GRAD pass inside the optimisation loop; "
+        "success/best-tracking always runs the f32 victim. EXPERIMENTAL / "
+        "UNSUPPORTED on this backend: XLA:TPU can compile the bf16 victim "
+        "backward to an exactly-zero input gradient at some (batch, "
+        "scan-length) shapes (jax.checkpoint moves which shapes, doesn't "
+        "fix it) — success collapses visibly when it bites. float32 is "
+        "the supported mode; see RESULTS.md",
     )
     parser.add_argument(
         "--curv_knn_refresh_every", default=1, type=int,
@@ -298,6 +302,14 @@ def main(args) -> str:
     # boundary, so bf16-judged successes fail the f32 victim on ~half the
     # instances (measured 137/250 on SSG before this split)
     bf16 = args.victim_dtype == "bfloat16"
+    if bf16:
+        print(
+            "[warn] --victim_dtype bfloat16 is EXPERIMENTAL on this "
+            "backend: an XLA:TPU codegen bug can zero the bf16 victim "
+            "gradient at some (batch, scan-length) shapes, collapsing "
+            "success; float32 is the supported mode (RESULTS.md)",
+            flush=True,
+        )
     opt_logits_fn = (
         make_eval_fn(model, variables, dtype=jnp.bfloat16)
         if bf16
