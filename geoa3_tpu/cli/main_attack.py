@@ -315,7 +315,9 @@ def main(args) -> str:
         if bf16
         else logits_fn
     )
-    eval_fn = make_eval_fn(model, variables) if bf16 else None
+    # the engine's f32 success judge IS the CLI's f32 re-eval fn (jit-in-jit
+    # inlines; a second closure would compile a duplicate victim)
+    eval_fn = logits_fn if bf16 else None
 
     def build_attack_fn(acfg=cfg):
         if args.mesh_data_parallel:

@@ -44,8 +44,11 @@ def make_eval_fn(
 
     BatchNorm running stats are baked in as constants (the attack only ever
     sees the victim in eval mode, reference main_attack.py:146).
-    `dtype=jnp.bfloat16` runs the victim matmuls in bf16 (logits returned in
-    f32) — an opt-in speed/precision trade for attack throughput.
+    `dtype=jnp.bfloat16` runs the victim matmuls in bf16 (logits returned
+    in f32) — EXPERIMENTAL on this backend: XLA:TPU can compile the bf16
+    PointNet backward to a zero input gradient at some shapes (see the
+    remat note below and RESULTS.md); success must always be judged by the
+    f32 victim (engine eval_logits_fn).
     """
     if dtype is not None:
         variables = jax.tree.map(
@@ -61,13 +64,17 @@ def make_eval_fn(
         out = model.apply(variables, pc, train=False)
         return out.astype(jnp.float32) if dtype is not None else out
 
-    if dtype is not None:
+    if dtype is not None and type(model).__name__ == "PointNet":
         # XLA:TPU mislowers the bf16 full-victim backward for PointNet at
         # b>=8: the input gradient compiles to EXACTLY zero (b=4 is fine,
         # every sub-op probed healthy in isolation — a fusion-level codegen
         # bug). jax.checkpoint rematerialises the forward inside the
-        # backward, which restructures the fusions around the bug (measured:
-        # grad norm 0.56 vs 0.0 at b=16) and cuts activation memory.
+        # backward, which restructures the fusions around the bug for SOME
+        # shapes (grad norm 0.56 vs 0.0 at b=16 x 100 steps) but NOT all
+        # (b=25 x 500 steps stays zero) — hence the mode is experimental.
+        # Scoped to PointNet: PN++ bf16 gradients were never observed to
+        # zero, and remat there costs ~3 ms/step of FPS/ball-query
+        # recompute for nothing.
         logits_fn = jax.checkpoint(logits_fn)
 
     return logits_fn

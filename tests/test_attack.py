@@ -359,6 +359,38 @@ class TestPointNetPPVictim:
         # same prediction, looser logits
         assert (f32.argmax(-1) == bf16.argmax(-1)).all()
 
+    def test_bf16_make_eval_fn_differentiates_in_attack(self, rng):
+        """Differentiate through make_eval_fn(dtype=bf16) — the CLI's real
+        bf16 composition, including the jax.checkpoint remat on PointNet —
+        inside make_attack_fn's scan/value_and_grad."""
+        import jax.numpy as jnp
+
+        from geoa3_tpu.attack.engine import make_attack_fn
+        from geoa3_tpu.models.registry import build_model, make_eval_fn
+
+        model = build_model("PointNet", classes=10, npoint=32)
+        pc = jnp.asarray(rng.randn(9, 32, 3).astype(np.float32))  # b >= 8
+        normal = jnp.asarray(rng.randn(9, 32, 3).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, pc, train=False
+        )
+        f32 = make_eval_fn(model, variables)
+        bf16 = make_eval_fn(model, variables, dtype=jnp.bfloat16)
+        gt = jnp.asarray(
+            np.argmax(np.asarray(f32(pc)), -1)
+        )  # attack the current predictions
+        # pure cls-loss attack: isolates the victim gradient path (a zero
+        # bf16 input-gradient — the XLA bug this guards — cannot flip a
+        # single instance)
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=10, npoint=32,
+            binary_max_steps=1, iter_max_steps=40, lr=0.05,
+            dis_loss_type="None", hd_loss_weight=0.0, curv_loss_weight=0.0,
+        )
+        fn = make_attack_fn(bf16, cfg, eval_logits_fn=f32)
+        res = fn(pc, normal, gt, gt, jax.random.PRNGKey(1))
+        assert float(np.asarray(res.success).mean()) >= 0.5
+
 
 class TestDeterminism:
     def test_same_key_same_result(self, rng):
