@@ -74,6 +74,34 @@ def test_sharded_attack_matches_single_device(rng):
     )
 
 
+def test_sharded_attack_with_separate_eval_fn(rng):
+    """The bf16-mode eval split (grad victim != success judge) must also
+    compile and judge correctly through the sharded path."""
+    grad_fn = _victim(seed=0)
+    judge_fn = _victim(seed=0, scale=2.5)  # same argmax, different scale
+    b, n = 8, 32
+    pc = rng.randn(b, n, 3).astype(np.float32) * 0.3
+    normal = rng.randn(b, n, 3).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    gt = np.argmax(np.asarray(grad_fn(jnp.asarray(pc))), -1).astype(np.int32)
+    cfg = AttackConfig(
+        attack_label="Untarget", classes=8, npoint=n,
+        binary_max_steps=1, iter_max_steps=10, curv_loss_knn=4,
+    )
+    mesh = parallel.make_mesh()
+    fn = parallel.make_sharded_attack_fn(
+        grad_fn, cfg, mesh, eval_logits_fn=judge_fn
+    )
+    spc, snormal, sgt, _ = parallel.shard_batch(mesh, pc, normal, gt, gt.copy())
+    res = fn(spc, snormal, sgt, sgt, jax.random.PRNGKey(0))
+    # judged by judge_fn: every recorded success must hold under it
+    preds = np.argmax(
+        np.asarray(judge_fn(res.best_attack)), -1
+    )
+    succ = np.asarray(res.success)
+    assert (preds[succ] != gt[succ]).all()
+
+
 @pytest.mark.parametrize("tp", [False, True])
 def test_sharded_train_step(tp, rng):
     from geoa3_tpu.train import TrainConfig, init_state
