@@ -16,7 +16,6 @@ Differences by design:
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import time
 from typing import Optional
@@ -211,6 +210,14 @@ def _attack_config(args, targeted_npoint=None) -> AttackConfig:
     )
 
 
+def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
+    """Pad the leading axis to `rows` by repeating row 0 (compiled attack /
+    metric programs are built for one fixed batch shape and reused)."""
+    if len(a) >= rows:
+        return a
+    return np.concatenate([a, a[:1].repeat(rows - len(a), 0)], 0)
+
+
 def load_dataset(args):
     """Load the attack set; 'synthetic[:per_class[:npoint]]' generates one."""
     spec = args.data_dir_file
@@ -368,6 +375,19 @@ def main(args) -> str:
     failed: list = []  # (pc, normal, gt, target, global instance idx)
     t_start = time.time()
 
+    def save_success(inst_global, gt_i, pred_i, expect_i, cloud, est=None):
+        """Write the per-instance .mat + .obj for one successful attack and
+        record its dataset-relative index for the metrics pass."""
+        name = gio.adversarial_mat_name(inst_global, gt_i, pred_i, expect_i)
+        inst_of_name[name + ".mat"] = inst_global - dataset.start_index
+        gio.save_adversarial_mat(
+            os.path.join(saved_dir, "Mat", name + ".mat"),
+            cloud, gt_i, pred_i, est_normal=est,
+        )
+        gio.save_point_obj(
+            os.path.join(saved_dir, "PC", name + ".obj"), cloud
+        )
+
     progress_path = os.path.join(saved_dir, "batches_done.txt")
 
     batches = list(gdata.batched(dataset, args.batch_size))
@@ -382,12 +402,9 @@ def main(args) -> str:
         if target is None:
             target = gt.copy()
         # pad short batches so the compiled program is reused
-        if b < full_b:
-            pad = full_b - b
-            pc = np.concatenate([pc, pc[:1].repeat(pad, 0)], 0)
-            normal = np.concatenate([normal, normal[:1].repeat(pad, 0)], 0)
-            gt = np.concatenate([gt, gt[:1].repeat(pad, 0)], 0)
-            target = np.concatenate([target, target[:1].repeat(pad, 0)], 0)
+        pc, normal, gt, target = (
+            _pad_rows(x, full_b) for x in (pc, normal, gt, target)
+        )
 
         key, atk_key, fps_key = jax.random.split(key, 3)
 
@@ -459,26 +476,11 @@ def main(args) -> str:
         for k in range(b):
             if succ_ind[k] and reeval_ok[k]:
                 num_attack_success += 1
-                name = gio.adversarial_mat_name(
+                save_success(
                     cnt_ins + k // num_attack_classes,
-                    int(gt[k]),
-                    int(adv_pred[k]),
-                    int(target[k]),
-                )
-                # dataset-relative instance index, carried explicitly so the
-                # metrics pass never has to re-parse it out of the filename
-                inst_of_name[name + ".mat"] = (
-                    cnt_ins + k // num_attack_classes - dataset.start_index
-                )
-                gio.save_adversarial_mat(
-                    os.path.join(saved_dir, "Mat", name + ".mat"),
+                    int(gt[k]), int(adv_pred[k]), int(target[k]),
                     adv_pc[k],
-                    int(gt[k]),
-                    int(adv_pred[k]),
-                    est_normal=saved_normal[k] if saved_normal is not None else None,
-                )
-                gio.save_point_obj(
-                    os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
+                    est=saved_normal[k] if saved_normal is not None else None,
                 )
             elif args.margin_retry:
                 failed.append(
@@ -511,17 +513,11 @@ def main(args) -> str:
         margin_fn = build_margin_fn()
         for s in range(0, len(failed), full_b):
             chunk = failed[s : s + full_b]
-            fpc = np.stack([f[0] for f in chunk])
-            fnrm = np.stack([f[1] for f in chunk])
-            fgt = np.asarray([f[2] for f in chunk])
-            ftg = np.asarray([f[3] for f in chunk])
             nb = len(chunk)
-            if nb < full_b:  # pad so the compiled programs are reused
-                padn = full_b - nb
-                fpc = np.concatenate([fpc, fpc[:1].repeat(padn, 0)])
-                fnrm = np.concatenate([fnrm, fnrm[:1].repeat(padn, 0)])
-                fgt = np.concatenate([fgt, fgt[:1].repeat(padn, 0)])
-                ftg = np.concatenate([ftg, ftg[:1].repeat(padn, 0)])
+            fpc = _pad_rows(np.stack([f[0] for f in chunk]), full_b)
+            fnrm = _pad_rows(np.stack([f[1] for f in chunk]), full_b)
+            fgt = _pad_rows(np.asarray([f[2] for f in chunk]), full_b)
+            ftg = _pad_rows(np.asarray([f[3] for f in chunk]), full_b)
             key, mkey, mfps_key = jax.random.split(key, 3)
 
             def run_margin(fn):
@@ -556,15 +552,12 @@ def main(args) -> str:
             )
             saved_normal = None
             if args.is_save_normal and dense_dataset is not None:
-                dnp = np.stack(
-                    [dense_dataset[f[4] - dataset.start_index].pc[0]
-                     for f in chunk]
-                    + [dense_dataset[0].pc[0]] * (full_b - nb)
-                )
-                dnn = np.stack(
-                    [dense_dataset[f[4] - dataset.start_index].normal[0]
-                     for f in chunk]
-                    + [dense_dataset[0].normal[0]] * (full_b - nb)
+                items = [
+                    dense_dataset[f[4] - dataset.start_index] for f in chunk
+                ]
+                dnp = _pad_rows(np.stack([it.pc[0] for it in items]), full_b)
+                dnn = _pad_rows(
+                    np.stack([it.normal[0] for it in items]), full_b
                 )
                 saved_normal = np.asarray(
                     estimate_normal_via_ori_normal(
@@ -577,19 +570,9 @@ def main(args) -> str:
                     continue
                 margin_closed += 1
                 num_attack_success += 1
-                name = gio.adversarial_mat_name(
-                    f[4], f[2], int(adv_pred[k]), f[3]
-                )
-                inst_of_name[name + ".mat"] = f[4] - dataset.start_index
-                gio.save_adversarial_mat(
-                    os.path.join(saved_dir, "Mat", name + ".mat"),
-                    adv_pc[k], f[2], int(adv_pred[k]),
-                    est_normal=(
-                        saved_normal[k] if saved_normal is not None else None
-                    ),
-                )
-                gio.save_point_obj(
-                    os.path.join(saved_dir, "PC", name + ".obj"), adv_pc[k]
+                save_success(
+                    f[4], f[2], int(adv_pred[k]), f[3], adv_pc[k],
+                    est=saved_normal[k] if saved_normal is not None else None,
                 )
         print(f"margin retry closed {margin_closed}/{len(failed)}")
 
@@ -672,30 +655,20 @@ def _write_attack_metrics(
 
     # ONE jitted batched program per shape bucket (a per-file eager loop
     # costs a full host round-trip per cloud — hours over a tunnelled
-    # runtime)
+    # runtime); jax.jit itself caches one compile per input shape
     cds, hds = [], []
     chunk = 128
 
-    @functools.lru_cache(maxsize=None)
-    def _cd_hd(shapes):
-        del shapes  # distinct jit cache entry per shape bucket
+    @jax.jit
+    def _cd_hd(a, c):
+        return L.chamfer_loss(a, c), L.hausdorff_loss(a, c)
 
-        @jax.jit
-        def f(a, c):
-            return L.chamfer_loss(a, c), L.hausdorff_loss(a, c)
-
-        return f
-
-    for shapes, pairs in buckets.items():
-        fn = _cd_hd(shapes)
+    for pairs in buckets.values():
         for s in range(0, len(pairs), chunk):
-            a = np.stack([p[0] for p in pairs[s : s + chunk]])
-            c = np.stack([p[1] for p in pairs[s : s + chunk]])
-            m = len(a)
-            if m < chunk:  # pad so the compiled program is reused
-                a = np.concatenate([a, a[:1].repeat(chunk - m, 0)])
-                c = np.concatenate([c, c[:1].repeat(chunk - m, 0)])
-            cd, hd = fn(jnp.asarray(a), jnp.asarray(c))
+            a = _pad_rows(np.stack([p[0] for p in pairs[s : s + chunk]]), chunk)
+            c = _pad_rows(np.stack([p[1] for p in pairs[s : s + chunk]]), chunk)
+            m = min(chunk, len(pairs) - s)
+            cd, hd = _cd_hd(jnp.asarray(a), jnp.asarray(c))
             cds.extend(np.asarray(cd)[:m].tolist())
             hds.extend(np.asarray(hd)[:m].tolist())
     metrics = {
