@@ -534,6 +534,11 @@ def main(args) -> str:
                 run_margin, build_margin_fn, margin_fn
             )
             adv_pc, succ = out
+            # liveness signal for restart wrappers: the batch count no
+            # longer moves during the retry pass, so refresh the progress
+            # file's mtime after each chunk
+            with open(progress_path, "w") as f:
+                f.write(str(len(batches)))
             # same re-evaluation protocol as the main pass: FPS-resample if
             # oversized, f32 verdict, evaluated on the PADDED batch so the
             # compiled shapes are reused

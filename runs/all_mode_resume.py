@@ -32,6 +32,13 @@ def batches_done() -> int:
         return 0
 
 
+def progress_mtime() -> float:
+    try:
+        return os.path.getmtime(PROGRESS)
+    except OSError:
+        return 0.0
+
+
 def main() -> None:
     t0 = time.time()
     for launch in range(20):
@@ -63,16 +70,18 @@ def main() -> None:
         )
         p = subprocess.Popen(cmd, cwd=CWD, env=env)
         start = time.time()
-        last_progress = (done, time.time())
+        last_progress = (done, progress_mtime(), time.time())
         while p.poll() is None:
             time.sleep(20)
-            now_done = batches_done()
-            if now_done > last_progress[0]:
-                last_progress = (now_done, time.time())
-            stalled = time.time() - last_progress[1] > STALL_TIMEOUT
+            now = (batches_done(), progress_mtime())
+            # value OR mtime moving counts as progress (the margin-retry
+            # pass rewrites the file without changing the count)
+            if now != last_progress[:2]:
+                last_progress = (*now, time.time())
+            stalled = time.time() - last_progress[2] > STALL_TIMEOUT
             if stalled or time.time() - start > PROC_TIMEOUT:
                 print(f"[resume] {'stall' if stalled else 'timeout'} at batch "
-                      f"{now_done}; killing pid {p.pid}", flush=True)
+                      f"{now[0]}; killing pid {p.pid}", flush=True)
                 p.kill()
                 p.wait()
                 time.sleep(60)  # let the tunnel recover
