@@ -1,7 +1,7 @@
-"""PN++ SSG full-budget attack with --victim_dtype bfloat16: certifies the
-recommended fast mode (0.393 attacks/s vs 0.327 f32) keeps reference-grade
-attack quality. Success is always re-measured by the f32 victim inside the
-CLI. Uses the victim + attack set from runs/pnpp_run.py (run that first)."""
+"""PN++ SSG full-budget attack with --victim_dtype bfloat16 (EXPERIMENTAL —
+see the post-mortem in RESULTS.md; f32 is the supported mode). Success is
+judged by the f32 victim inside the engine and re-verified by the CLI.
+Uses the victim + attack set from runs/pnpp_run.py (run that first)."""
 import os
 import sys
 import time
