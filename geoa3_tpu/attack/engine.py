@@ -23,6 +23,13 @@ here for the parity audit):
      ANDs a stale `output_label` from the final step of the LAST instance in
      the batch (geoA3_attack.py:375) — a bug.
   3. RNG is explicit (JAX keys) instead of global torch seeds.
+  4. The CLI re-evaluates every saved cloud with the f32 victim and gates
+     saving on engine-success AND re-eval success (the reference gates on
+     the engine indicator alone, main_attack.py:249-261) — required on a
+     backend where the optimised victim may be lower-precision than the
+     deployed one. Exception: in subsample mode with eval_num > 1 the
+     engine's FPS-ensemble vote is the verdict (a single stochastic CLI
+     FPS draw would drop genuinely successful attacks to resampling noise).
 """
 
 from __future__ import annotations
@@ -232,6 +239,7 @@ def make_attack_fn(
     cfg: AttackConfig,
     host_binary_loop: bool = False,
     eval_logits_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    debug_callback: Optional[Callable] = None,
 ) -> Callable[..., AttackResult]:
     """Build the whole-attack program for a fixed config.
 
@@ -259,6 +267,14 @@ def make_attack_fn(
     """
     cfg = cfg.validate()
     targeted = cfg.targeted
+    if debug_callback is not None and (not host_binary_loop or cfg.is_partial_var):
+        # the reference's is_debug observability (geoA3_attack.py:334-370)
+        # needs the host between search steps; inside one fused scan∘scan
+        # program there is no host to call — fail loudly, never silently
+        raise ValueError(
+            "debug_callback (--is_debug) requires host_binary_loop=True "
+            "and is not supported in partial-var mode"
+        )
     if eval_logits_fn is None:
         eval_logits_fn = logits_fn
         separate_eval = False
@@ -541,6 +557,12 @@ def make_attack_fn(
                 pc_ori, normal_ori, gt_target, target, kappa_ori, carry,
                 jnp.int32(bs_idx),
             )
+            if debug_callback is not None:
+                # per-search-step observability (reference geoA3_attack.py
+                # :334-370 dumps per-50-inner-steps; here the host only
+                # exists between search steps): current best cloud + the
+                # full per-step loss curve of this search step
+                debug_callback(bs_idx, carry[3].attack, loss_ys)
         return _result(carry[3], target, loss_ys)
 
     return attack_fn_host

@@ -218,6 +218,45 @@ def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
     return np.concatenate([a, a[:1].repeat(rows - len(a), 0)], 0)
 
 
+def _persist_failed(saved_dir: str, batch_idx: int, entries: list) -> None:
+    """Record one batch's failed (pc, normal, gt, target, inst) pairs so the
+    Margin-retry pass survives a process restart (--start_batch resume)."""
+    d = os.path.join(saved_dir, "MarginRetry")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"failed_{batch_idx:05d}.npz")
+    if not entries:
+        # clear a stale file from an earlier run into the same dir
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    np.savez(
+        path,
+        pc=np.stack([e[0] for e in entries]),
+        normal=np.stack([e[1] for e in entries]),
+        gt=np.asarray([e[2] for e in entries], np.int64),
+        target=np.asarray([e[3] for e in entries], np.int64),
+        inst=np.asarray([e[4] for e in entries], np.int64),
+    )
+
+
+def _load_failed(saved_dir: str) -> list:
+    """Union of all persisted failed pairs, in batch order (all processes)."""
+    d = os.path.join(saved_dir, "MarginRetry")
+    out: list = []
+    if not os.path.isdir(d):
+        return out
+    for fname in sorted(os.listdir(d)):
+        if not (fname.startswith("failed_") and fname.endswith(".npz")):
+            continue
+        z = np.load(os.path.join(d, fname))
+        for k in range(z["pc"].shape[0]):
+            out.append(
+                (z["pc"][k], z["normal"][k], int(z["gt"][k]),
+                 int(z["target"][k]), int(z["inst"][k]))
+            )
+    return out
+
+
 def load_dataset(args):
     """Load the attack set; 'synthetic[:per_class[:npoint]]' generates one."""
     spec = args.data_dir_file
@@ -326,6 +365,40 @@ def main(args) -> str:
     # inlines; a second closure would compile a duplicate victim)
     eval_fn = logits_fn if bf16 else None
 
+    # --is_debug observability (reference geoA3_attack.py:334-370): dump the
+    # last instance's current-best cloud per binary-search step as a
+    # 6-column .xyz (xyz + its original normal) and print the loss curve
+    debug_state = {"batch": 0, "normal": None}
+
+    def debug_callback(bs_idx, best_attack, loss_ys):
+        cloud = np.asarray(best_attack)[-1]
+        nrm = debug_state["normal"][-1]
+        path = os.path.join(
+            saved_dir, "Obj",
+            f"batch{debug_state['batch']}_bs{bs_idx}.xyz",
+        )
+        with open(path, "w") as fout:
+            for m in range(cloud.shape[0]):
+                fout.write(
+                    "%f %f %f %f %f %f\n"
+                    % (cloud[m, 0], cloud[m, 1], cloud[m, 2],
+                       nrm[m, 0], nrm[m, 1], nrm[m, 2])
+                )
+        losses = np.asarray(loss_ys)  # [iter_max_steps, b]
+        for step in range(0, losses.shape[0], 50):
+            print(
+                f"[{bs_idx + 1}/{args.binary_max_steps}]"
+                f"[{step + 1}/{losses.shape[0]}] \t "
+                f"loss: {losses[step].sum():6.4f}",
+                flush=True,
+            )
+
+    if args.is_debug and args.mesh_data_parallel:
+        raise SystemExit(
+            "--is_debug requires the host-driven binary loop; it cannot be "
+            "combined with --mesh_data_parallel (fully-compiled path)"
+        )
+
     def build_attack_fn(acfg=cfg):
         if args.mesh_data_parallel:
             return parallel.make_sharded_attack_fn(
@@ -338,6 +411,7 @@ def main(args) -> str:
         return make_attack_fn(
             opt_logits_fn, acfg, host_binary_loop=True,
             eval_logits_fn=eval_fn,
+            debug_callback=debug_callback if args.is_debug else None,
         )
 
     attack_fn = build_attack_fn()
@@ -407,6 +481,9 @@ def main(args) -> str:
         )
 
         key, atk_key, fps_key = jax.random.split(key, 3)
+        if args.is_debug:
+            debug_state["batch"] = i
+            debug_state["normal"] = normal
 
         # the attack program runs minutes per batch; survive transient TPU
         # worker restarts by retrying the batch
@@ -450,11 +527,16 @@ def main(args) -> str:
         # success counted like the reference's re-evaluation
         # (main_attack.py:249-261): the engine's best-tracking success AND
         # the f32 victim's verdict on the saved cloud (they can differ when
-        # the engine eval used FPS-resampling or — before the eval split —
-        # a bf16 victim)
-        reeval_ok = (
-            (adv_pred == target) if targeted else (adv_pred != gt)
-        )
+        # — before the eval split — a bf16 victim judged). In subsample
+        # mode the engine already judged by an eval_num-draw FPS-ensemble
+        # vote (f32), which a single stochastic CLI draw would only add
+        # noise to — trust the ensemble there (deviation list, engine.py)
+        if args.is_subsample_opt and args.eval_num > 1:
+            reeval_ok = np.ones_like(succ_ind, dtype=bool)
+        else:
+            reeval_ok = (
+                (adv_pred == target) if targeted else (adv_pred != gt)
+            )
 
         saved_normal = None
         if args.is_save_normal and dense_dataset is not None:
@@ -473,6 +555,7 @@ def main(args) -> str:
                 )
             )
 
+        batch_failed: list = []
         for k in range(b):
             if succ_ind[k] and reeval_ok[k]:
                 num_attack_success += 1
@@ -483,10 +566,15 @@ def main(args) -> str:
                     est=saved_normal[k] if saved_normal is not None else None,
                 )
             elif args.margin_retry:
-                failed.append(
+                batch_failed.append(
                     (pc[k], normal[k], int(gt[k]), int(target[k]),
                      cnt_ins + k // num_attack_classes)
                 )
+        if args.margin_retry:
+            # persist per-batch failures so a process restarted with
+            # --start_batch can rebuild the full failed list for the retry
+            failed.extend(batch_failed)
+            _persist_failed(saved_dir, i, batch_failed)
 
         cnt_ins += b // num_attack_classes
         cnt_all += b
@@ -499,13 +587,25 @@ def main(args) -> str:
         )
 
     margin_closed = 0
+    if args.margin_retry:
+        # rebuild the failed list from the per-batch persistence: a process
+        # restarted with --start_batch never saw the earlier batches'
+        # failures, and a crash mid-retry must not silently skip the rest
+        failed = _load_failed(saved_dir)
     if args.margin_retry and failed:
         # second pass over ONLY the failed pairs with the Margin loss: the
         # probe measured it closes ~half of what CE cannot flip, while more
         # CE binary-search budget closes little (runs/all_mode_probe.py)
         import dataclasses as _dc
 
-        print(f"margin retry: re-attacking {len(failed)} failed pairs")
+        retry_cursor_path = os.path.join(saved_dir, "margin_done.txt")
+        cursor = 0
+        if args.start_batch > 0 and os.path.exists(retry_cursor_path):
+            cursor = int(open(retry_cursor_path).read().strip() or 0)
+        print(
+            f"margin retry: re-attacking {len(failed)} failed pairs"
+            + (f" (resuming at pair {cursor})" if cursor else "")
+        )
 
         def build_margin_fn():
             return build_attack_fn(_dc.replace(cfg, cls_loss_type="Margin"))
@@ -513,6 +613,9 @@ def main(args) -> str:
         margin_fn = build_margin_fn()
         for s in range(0, len(failed), full_b):
             chunk = failed[s : s + full_b]
+            if s + len(chunk) <= cursor:
+                continue  # already retried before the restart; the final
+                # success rate is recounted from the saved .mat files anyway
             nb = len(chunk)
             fpc = _pad_rows(np.stack([f[0] for f in chunk]), full_b)
             fnrm = _pad_rows(np.stack([f[1] for f in chunk]), full_b)
@@ -579,6 +682,8 @@ def main(args) -> str:
                     f[4], f[2], int(adv_pred[k]), f[3], adv_pc[k],
                     est=saved_normal[k] if saved_normal is not None else None,
                 )
+            with open(retry_cursor_path, "w") as fh:
+                fh.write(str(s + len(chunk)))
         print(f"margin retry closed {margin_closed}/{len(failed)}")
 
     if cci is not None:

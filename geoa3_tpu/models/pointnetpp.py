@@ -164,9 +164,11 @@ class SharedMLP(nn.Module):
         gxp = jnp.concatenate(
             [gxp, jnp.zeros((b, 5, m * ns), gxp.dtype)], axis=1
         )
-        out = group_mlp_maxpool(
-            gxp, gf, ns, dtype == jnp.float32, tuple(ws_and_bs)
-        )
+        # the fused kernel's VJP only differentiates the INPUTS (the attack
+        # path); make the non-differentiability of the folded params explicit
+        # at the call site instead of relying on zero cotangents in the VJP
+        ws_and_bs = jax.tree.map(jax.lax.stop_gradient, tuple(ws_and_bs))
+        out = group_mlp_maxpool(gxp, gf, ns, dtype == jnp.float32, ws_and_bs)
         return out.astype(dtype)
 
     @nn.compact

@@ -371,7 +371,14 @@ def group_mlp_available(
         return False
     if len(mlp_widths) != 3:
         return False
-    if ns * _pick_gpt(m, ns) > 2048:
+    gpt = _pick_gpt(m, ns)
+    if ns * gpt > 2048:
+        return False
+    # the planes block's trailing dim R = gpt*ns must be lane-aligned
+    # (multiple of 128) whenever the m//gpt grid has more than one step —
+    # Mosaic only allows an unaligned trailing dim when the block spans the
+    # full axis (single grid step, m == gpt)
+    if (ns * gpt) % 128 != 0 and m != gpt:
         return False
     if cf and cf % 128 != 0:
         return False

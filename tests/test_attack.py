@@ -489,3 +489,38 @@ class TestSeparateEvalFn:
         assert not bool(res_split.success.any()), (
             "with a separate eval fn, success must be judged by it"
         )
+
+
+class TestDebugCallback:
+    def test_requires_host_binary_loop(self, rng):
+        """--is_debug needs the host between search steps; the fully-compiled
+        path must reject it loudly (never silently ignore the flag)."""
+        from geoa3_tpu.attack.engine import make_attack_fn
+
+        logits_fn, _ = make_victim()
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=CLASSES, npoint=48,
+            binary_max_steps=1, iter_max_steps=3, curv_loss_knn=4,
+        )
+        with pytest.raises(ValueError, match="host_binary_loop"):
+            make_attack_fn(logits_fn, cfg, debug_callback=lambda *a: None)
+
+    def test_called_per_search_step(self, rng):
+        from geoa3_tpu.attack.engine import make_attack_fn
+
+        logits_fn, pc, nrm, gt = make_batch(rng)
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=CLASSES, npoint=48,
+            binary_max_steps=3, iter_max_steps=4, curv_loss_knn=4,
+        )
+        calls = []
+        fn = make_attack_fn(
+            logits_fn, cfg, host_binary_loop=True,
+            debug_callback=lambda i, att, ys: calls.append(
+                (i, att.shape, ys.shape)
+            ),
+        )
+        fn(pc, nrm, gt, gt, jax.random.PRNGKey(0))
+        assert [c[0] for c in calls] == [0, 1, 2]
+        assert calls[0][1] == pc.shape
+        assert calls[0][2] == (cfg.iter_max_steps, pc.shape[0])

@@ -269,6 +269,35 @@ def test_attack_margin_retry(workdir, trained_victim):
         assert "margin retry closed:" in txt
 
 
+def test_attack_is_debug_dumps(workdir, trained_victim):
+    """--is_debug writes per-search-step 6-column .xyz snapshots under Obj/
+    (reference geoA3_attack.py:334-370 observability, per-search-step here)."""
+    modeldir, _ = trained_victim
+    from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
+
+    aargs = ap().parse_args(
+        [
+            "--attack", "GeoA3",
+            "--attack_label", "Untarget",
+            "--data_dir_file", "synthetic:1:64",
+            "--npoint", "64",
+            "--binary_max_steps", "2",
+            "--iter_max_steps", "10",
+            "--curv_loss_knn", "4",
+            "-b", "2",
+            "--checkpoint", modeldir,
+            "--is_debug",
+            "--id", "13",
+        ]
+    )
+    saved_dir = attack_main(aargs)
+    dumps = sorted(os.listdir(os.path.join(saved_dir, "Obj")))
+    assert any(f.endswith("_bs0.xyz") for f in dumps)
+    assert any(f.endswith("_bs1.xyz") for f in dumps)
+    rows = np.loadtxt(os.path.join(saved_dir, "Obj", dumps[0]))
+    assert rows.shape == (64, 6)  # xyz + normal per point
+
+
 def test_attack_with_save_normal(workdir, trained_victim):
     """--is_save_normal estimates normals against a dense cloud and stores
     them in the per-instance .mat (reference main_attack.py:241-247,269-271)."""

@@ -145,6 +145,7 @@ def test_torch_checkpoint_loading_via_victim_loader(tmp_path):
     assert "params" in variables and "batch_stats" in variables
 
 
+@pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     """--resume restores epoch/best and continues (reference :167-178)."""
     import jax.numpy as jnp
@@ -168,6 +169,7 @@ def test_resume_continues_training(tmp_path):
     assert ckpt["epoch"] == 3
 
 
+@pytest.mark.slow
 def test_epoch_retry_on_transient_failure(tmp_path, monkeypatch):
     """A mid-epoch device failure is retried from the last good host snapshot
     (TPU-worker-restart resilience; the attack CLI has the same guard
