@@ -1,4 +1,4 @@
-"""Benchmark: GeoA3 attack throughput on one TPU chip.
+"""Benchmark: GeoA3 attack throughput on one TPU chip (and over a mesh).
 
 Measures attacks/sec/chip for the reference's headline configuration — the
 full geometry-aware attack (CE + Chamfer 1.0 + Hausdorff 0.1 + curvature 1.0
@@ -24,6 +24,15 @@ backward, and ~6 CUDA kNN calls at batch 18 — ~30 ms/step measured scale,
 i.e. 18 attacks / (5000 * 0.030 s) ~= 0.12 attacks/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mesh mode (`python bench.py --mesh N`): shard an N-x-larger batch of the
+same attack program over an N-chip ('data') mesh via
+parallel.make_sharded_attack_fn, measure the sharded per-step time from the
+device trace, and report total attacks/s plus scaling efficiency vs the
+single-chip run at the same per-chip batch. With fewer than N real chips the
+run re-execs itself on a virtual N-device CPU mesh (harness smoke only —
+the JSON is then labelled "virtual": true and proves the sharded program
+compiles and executes, not ICI performance).
 """
 
 import json
@@ -43,9 +52,10 @@ BASELINE_ATTACKS_PER_SEC = 0.12  # estimated reference GPU throughput (above)
 FULL_BUDGET_STEPS = 10 * 500  # reference default binary x iter budget
 MEASURE_STEPS = int(os.environ.get("GEOA3_BENCH_STEPS", 250))
 BATCH = int(os.environ.get("GEOA3_BENCH_BATCH", 32))
+NPOINT = int(os.environ.get("GEOA3_BENCH_NPOINT", 1024))
 
 
-def _traced_ms_per_step(fn, args):
+def _traced_ms_per_step(fn, args, steps):
     """On-device ms/inner-step from a jax.profiler trace (longest X event =
     the attack module's device execution). None if the trace is unusable."""
     import glob
@@ -81,42 +91,43 @@ def _traced_ms_per_step(fn, args):
             ),
             default=0,
         )
-        return (top / 1e3) / MEASURE_STEPS if top > 0 else None
+        return (top / 1e3) / steps if top > 0 else None
     except Exception:
         return None
     finally:
         shutil.rmtree(logdir, ignore_errors=True)
 
 
-def main() -> None:
+def _setup(batch, steps, npoint):
+    """Victim + attack config + a synthetic measurement batch."""
     from geoa3_tpu.attack import AttackConfig
-    from geoa3_tpu.attack.engine import make_attack_fn
     from geoa3_tpu.data.synthetic import sample_shape
     from geoa3_tpu.models.registry import build_model, make_eval_fn
 
-    n = 1024
-    model = build_model("PointNet", classes=40, npoint=n)
+    model = build_model("PointNet", classes=40, npoint=npoint)
     variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, n, 3)), train=False
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, npoint, 3)),
+        train=False,
     )
     logits_fn = make_eval_fn(model, variables)
 
     rng = np.random.RandomState(0)
     clouds, normals = [], []
-    for i in range(BATCH):
-        p, m = sample_shape(i % 10, n, rng)
+    for i in range(batch):
+        p, m = sample_shape(i % 10, npoint, rng)
         clouds.append(p)
         normals.append(m)
     pc = jnp.asarray(np.stack(clouds))
     nrm = jnp.asarray(np.stack(normals))
-    gt = jnp.asarray(rng.randint(0, 40, BATCH))
+    gt = jnp.asarray(rng.randint(0, 40, batch))
 
     cfg = AttackConfig(
         attack_label="Untarget",
         classes=40,
-        npoint=n,
+        npoint=npoint,
         binary_max_steps=1,
-        iter_max_steps=MEASURE_STEPS,
+        iter_max_steps=steps,
         cls_loss_type="CE",
         dis_loss_type="CD",
         dis_loss_weight=1.0,
@@ -124,42 +135,139 @@ def main() -> None:
         curv_loss_weight=1.0,
         curv_loss_knn=16,
     )
-    fn = jax.jit(make_attack_fn(logits_fn, cfg))
+    return logits_fn, cfg, (pc, nrm, gt)
+
+
+def _measure(fn, args, steps):
+    """(compile_s, ms_per_step) for a compiled attack fn, trace-timed."""
     # fresh keys: the relay memoizes identical (program, input) calls
     k0, k1 = jax.random.split(jax.random.PRNGKey(time.time_ns() % (2**31)))
-
     t0 = time.time()
-    res = fn(pc, nrm, gt, gt, k0)
+    res = fn(*args, k0)
     np.asarray(res.best_attack)  # real host fetch (block_until_ready lies)
     compile_s = time.time() - t0
-
     t0 = time.time()
-    ms_per_step = _traced_ms_per_step(fn, (pc, nrm, gt, gt, k1))
-    run_s = time.time() - t0
-    if ms_per_step is None:  # no trace available: fall back to wall-clock
-        ms_per_step = run_s / MEASURE_STEPS * 1000
-    attacks_per_sec = BATCH / (ms_per_step / 1000 * FULL_BUDGET_STEPS)
+    ms = _traced_ms_per_step(fn, (*args, k1), steps)
+    if ms is None:  # no trace available: fall back to wall-clock
+        ms = (time.time() - t0) / steps * 1000
+    return compile_s, ms
 
+
+def run_single(batch=None, steps=None, npoint=None) -> dict:
+    """Single-chip headline measurement (the driver's metric)."""
+    from geoa3_tpu.attack.engine import make_attack_fn
+
+    batch = batch or BATCH
+    steps = steps or MEASURE_STEPS
+    npoint = npoint or NPOINT
+    logits_fn, cfg, (pc, nrm, gt) = _setup(batch, steps, npoint)
+    fn = jax.jit(make_attack_fn(logits_fn, cfg))
+    compile_s, ms_per_step = _measure(fn, (pc, nrm, gt, gt), steps)
+    attacks_per_sec = batch / (ms_per_step / 1000 * FULL_BUDGET_STEPS)
     print(
-        f"# batch={BATCH} n={n} steps={MEASURE_STEPS} "
+        f"# batch={batch} n={npoint} steps={steps} "
         f"compile={compile_s:.1f}s step={ms_per_step:.2f}ms "
         f"(full 5000-step budget)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "attacks_per_sec_per_chip",
-                "value": round(attacks_per_sec, 4),
-                "unit": "attacks/s (1024-pt PointNet, full GeoA3 budget)",
-                "vs_baseline": round(attacks_per_sec / BASELINE_ATTACKS_PER_SEC, 2),
-                # the reference publishes no throughput numbers; the 0.12
-                # attacks/s denominator is a V100-class estimate (see module
-                # docstring), so vs_baseline is NOT a measured comparison
-                "baseline_is_estimate": True,
-            }
-        )
+    return {
+        "metric": "attacks_per_sec_per_chip",
+        "value": round(attacks_per_sec, 4),
+        "unit": "attacks/s (1024-pt PointNet, full GeoA3 budget)",
+        "vs_baseline": round(attacks_per_sec / BASELINE_ATTACKS_PER_SEC, 2),
+        # the reference publishes no throughput numbers; the 0.12
+        # attacks/s denominator is a V100-class estimate (see module
+        # docstring), so vs_baseline is NOT a measured comparison
+        "baseline_is_estimate": True,
+    }
+
+
+def run_mesh(mesh_n, batch_per_chip=None, steps=None, npoint=None) -> dict:
+    """N-chip scaling measurement: same attack program, batch x N, sharded
+    over the 'data' axis. Reports total attacks/s + scaling efficiency
+    (per-step time single-chip / per-step time sharded, same per-chip batch).
+    """
+    from geoa3_tpu import parallel
+
+    batch_per_chip = batch_per_chip or BATCH
+    steps = steps or MEASURE_STEPS
+    npoint = npoint or NPOINT
+    devices = jax.devices()
+    assert len(devices) >= mesh_n, (
+        f"need {mesh_n} devices, have {len(devices)} — run via main() for "
+        "the virtual-mesh re-exec"
     )
+    virtual = devices[0].platform == "cpu"
+    mesh = parallel.make_mesh(n_data=mesh_n, n_model=1, devices=devices[:mesh_n])
+
+    # single-chip anchor at the same per-chip batch (on device 0)
+    from geoa3_tpu.attack.engine import make_attack_fn
+
+    logits_fn, cfg, (pc1, nrm1, gt1) = _setup(batch_per_chip, steps, npoint)
+    fn1 = jax.jit(make_attack_fn(logits_fn, cfg))
+    _, ms_single = _measure(fn1, (pc1, nrm1, gt1, gt1), steps)
+
+    # sharded run: N x the batch over the mesh
+    total_b = batch_per_chip * mesh_n
+    logits_fn, cfg, argsN = _setup(total_b, steps, npoint)
+    fnN = parallel.make_sharded_attack_fn(logits_fn, cfg, mesh)
+    pc, nrm, gt = parallel.shard_batch(mesh, *argsN)
+    compile_s, ms_mesh = _measure(fnN, (pc, nrm, gt, gt), steps)
+
+    efficiency = ms_single / ms_mesh if ms_mesh > 0 else 0.0
+    attacks_per_sec = total_b / (ms_mesh / 1000 * FULL_BUDGET_STEPS)
+    print(
+        f"# mesh={mesh_n} per-chip batch={batch_per_chip} n={npoint} "
+        f"steps={steps} compile={compile_s:.1f}s single={ms_single:.2f}ms "
+        f"sharded={ms_mesh:.2f}ms eff={efficiency:.2%} virtual={virtual}",
+        file=sys.stderr,
+    )
+    return {
+        "metric": "attacks_per_sec_scaling",
+        "value": round(attacks_per_sec, 4),
+        "unit": f"attacks/s total ({mesh_n}-chip data-parallel, "
+                f"{npoint}-pt PointNet, full GeoA3 budget)",
+        "mesh": mesh_n,
+        "scaling_efficiency": round(efficiency, 4),
+        "vs_baseline": round(attacks_per_sec / BASELINE_ATTACKS_PER_SEC, 2),
+        "baseline_is_estimate": True,
+        "virtual": virtual,
+    }
+
+
+def main() -> None:
+    if "--mesh" in sys.argv:
+        mesh_n = int(sys.argv[sys.argv.index("--mesh") + 1])
+        if len(jax.devices()) < mesh_n:
+            # not enough real chips: re-exec on a virtual CPU mesh (the
+            # jax.config update must happen pre-backend-use in the child;
+            # env vars alone don't defeat the axon sitecustomize)
+            import subprocess
+
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={mesh_n}"
+            ).strip()
+            env["JAX_PLATFORMS"] = "cpu"
+            env.setdefault("GEOA3_BENCH_STEPS", "4")
+            env.setdefault("GEOA3_BENCH_BATCH", "4")
+            env.setdefault("GEOA3_BENCH_NPOINT", "64")
+            child = (
+                "import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "import sys; sys.argv = ['bench.py', '--mesh', "
+                f"'{mesh_n}']; "
+                "import bench; bench.main()"
+            )
+            proc = subprocess.run(
+                [sys.executable, "-c", child],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env, text=True, timeout=1800,
+            )
+            sys.exit(proc.returncode)
+        print(json.dumps(run_mesh(mesh_n)))
+        return
+    print(json.dumps(run_single()))
 
 
 if __name__ == "__main__":

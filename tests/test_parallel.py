@@ -129,3 +129,23 @@ def test_replicate_params(rng):
     tree = {"w": np.ones((4, 4), np.float32)}
     rep = parallel.replicate(mesh, tree)
     assert rep["w"].sharding.is_fully_replicated
+
+
+def test_bench_mesh_harness():
+    """bench.py --mesh N measures the sharded attack program and reports
+    scaling efficiency; smoked here on the virtual 8-CPU mesh so the real
+    v5e-8 run is one command the day the hardware exists."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    out = bench.run_mesh(8, batch_per_chip=2, steps=2, npoint=64)
+    assert out["metric"] == "attacks_per_sec_scaling"
+    assert out["mesh"] == 8
+    assert out["value"] > 0
+    assert out["virtual"] is True  # CPU smoke, not an ICI measurement
+    assert "scaling_efficiency" in out
