@@ -361,6 +361,19 @@ def main(args) -> str:
         if bf16
         else logits_fn
     )
+    if bf16:
+        # refuse (don't warn) when the bug bites at THIS run's padded batch
+        # shape: a zero input gradient makes every attack step a no-op
+        from geoa3_tpu.models.registry import bf16_grad_healthcheck
+
+        if not bf16_grad_healthcheck(opt_logits_fn, full_b, args.npoint):
+            raise SystemExit(
+                "--victim_dtype bfloat16 refused: the XLA:TPU bf16 backward "
+                f"produces an exactly-zero input gradient at this run's "
+                f"shape [{full_b}, {args.npoint}, 3] "
+                "(see runs/bf16_zero_grad_repro.py and RESULTS.md); "
+                "use --victim_dtype float32"
+            )
     # the engine's f32 success judge IS the CLI's f32 re-eval fn (jit-in-jit
     # inlines; a second closure would compile a duplicate victim)
     eval_fn = logits_fn if bf16 else None

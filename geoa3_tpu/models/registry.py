@@ -80,6 +80,20 @@ def make_eval_fn(
     return logits_fn
 
 
+def bf16_grad_healthcheck(logits_fn: Callable, b: int, n: int) -> bool:
+    """True iff d(sum logits)/d(input) is non-zero at shape [b, n, 3].
+
+    Guard for the XLA:TPU bf16 codegen bug (zero input gradient at some
+    batch/fusion shapes — see runs/bf16_zero_grad_repro.py and RESULTS.md).
+    Run at the CLI's ACTUAL padded batch shape before any bf16 attack; a
+    zero gradient means every attack step would be a no-op, so the caller
+    must refuse the mode, not warn.
+    """
+    x = jax.random.normal(jax.random.PRNGKey(17), (b, n, 3), jnp.float32)
+    g = jax.jit(jax.grad(lambda p: logits_fn(p).sum()))(x)
+    return bool(jnp.max(jnp.abs(g)) > 0)
+
+
 def make_apply_fn(model) -> Callable[[dict, jax.Array], jax.Array]:
     """Return logits_fn(variables, pc) for cases where params are traced."""
 

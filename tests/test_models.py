@@ -391,3 +391,29 @@ class TestFPModule:
         )
         out = fp.apply(variables, unknown, known, None, known_feats, train=False)
         assert out.shape == (2, 128, 64)
+
+
+class TestBf16GradHealthcheck:
+    """Guard for the XLA:TPU bf16 zero-gradient bug (RESULTS.md post-mortem;
+    standalone reproducer in runs/bf16_zero_grad_repro.py). On CPU the bug
+    never fires, so the healthy path must return True; a logits_fn whose
+    input gradient is identically zero must be detected as unhealthy."""
+
+    def test_healthy_victim_passes(self):
+        from geoa3_tpu.models.registry import (
+            bf16_grad_healthcheck, build_model, init_variables, make_eval_fn,
+        )
+
+        model = build_model("PointNet", classes=10, npoint=64)
+        variables = init_variables(model, jax.random.PRNGKey(0), n=64)
+        fn = make_eval_fn(model, variables, dtype=jnp.bfloat16)
+        assert bf16_grad_healthcheck(fn, b=4, n=64)
+
+    def test_zero_grad_victim_refused(self):
+        from geoa3_tpu.models.registry import bf16_grad_healthcheck
+
+        def dead_fn(pc):
+            # mimics the mislowered backward: logits fine, d/dx == 0
+            return jnp.sum(jax.lax.stop_gradient(pc), axis=1)
+
+        assert not bf16_grad_healthcheck(dead_fn, b=4, n=64)
