@@ -56,3 +56,68 @@ def test_save_ori_obj_mesh_mode(tmp_path):
     assert len(files) == 1 and files[0].endswith("_17.obj")  # airplane id
     v, f = gio.read_obj(os.path.join(out, files[0]))
     assert np.linalg.norm(np.asarray(v), axis=1).max() <= 1.0 + 1e-5
+
+
+class TestReadinessDrill:
+    """Real-data readiness drill (TODO.md 'Data' as one command)."""
+
+    def _run(self, argv):
+        from geoa3_tpu.cli.readiness import build_parser, main
+
+        return main(build_parser().parse_args(argv))
+
+    def test_all_skip_when_no_assets(self, tmp_path, capsys):
+        out = str(tmp_path / "r.json")
+        rc = self._run(["--out", out])
+        assert rc == 0
+        import json
+
+        rep = json.load(open(out))
+        assert rep["verdict"].startswith("PARTIAL")
+        assert all(s["status"] == "SKIP" for s in rep["steps"].values())
+
+    def test_convert_parity_and_smoke(self, tmp_path):
+        import json
+        import sys
+        import types
+
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        if not os.path.isdir("/root/reference/Model"):
+            pytest.skip("reference repo not available")
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
+        sys.path.insert(0, "/root/reference/Model")
+        from PointNet import PointNet as TorchPointNet
+
+        npoint = 64
+        tm = TorchPointNet(40, npoint=npoint)
+        tm.eval()
+        # warm the BN running stats so eval mode is non-trivial
+        with torch.no_grad():
+            tm.train()
+            tm(torch.randn(8, 3, npoint))
+            tm.eval()
+        ckpt = str(tmp_path / "model_best.pth.tar")
+        torch.save({"state_dict": tm.state_dict()}, ckpt)
+
+        mat = str(tmp_path / "set.mat")
+        d = make_synthetic_attack_set(num_per_class=1, npoint=npoint,
+                                      classes=2, seed=3)
+        sio.savemat(mat, d)
+
+        out = str(tmp_path / "r.json")
+        rc = self._run([
+            "--checkpoint", ckpt, "--npoint", str(npoint),
+            "--data_dir_file", mat, "--out", out,
+        ])
+        rep = json.load(open(out))
+        assert rep["steps"]["convert"]["status"] == "PASS"
+        assert rep["steps"]["torch_parity"]["status"] == "PASS", rep
+        assert rep["steps"]["clean_acc"]["status"] == "SKIP"
+        assert rep["steps"]["attack_smoke"]["status"] == "PASS", rep
+        assert rc == 0
