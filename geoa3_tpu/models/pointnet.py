@@ -36,6 +36,79 @@ def _identity_bias(K: int):
     return init
 
 
+class _DenseP(nn.Module):
+    """Declares (or reads) nn.Dense/nn.Conv params at their exact tree
+    paths without computing — lets the fused pool kernel consume them
+    directly while keeping checkpoints/converters unchanged."""
+
+    shape: tuple  # Dense: (cin, cout); Conv k3: (3, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
+        )
+        return kernel, bias
+
+
+class _BNP(nn.Module):
+    """Declares (or reads) BatchNorm params/stats at nn.BatchNorm's paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
+def _fused_pool(parent, x, conv_name, bn_name, cout, taps, eps):
+    """relu(max_n(bn(conv(x)))) via the fused Pallas pool kernel.
+
+    Declares the conv/BN params at the standard nn.Dense / nn.Conv /
+    nn.BatchNorm tree paths, folds the eval-mode BN affine into the conv
+    weights, max-pools in VMEM (ops/pallas/pool_matmul_kernel.py), and
+    applies the ReLU after the pool (max and ReLU commute; tie/clamp
+    gradients agree — see the kernel docstring). Attack path only: the
+    folded params pass through stop_gradient, matching the frozen-victim
+    contract (weight grads come from the unfused train path)."""
+    from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+    cin = x.shape[-1]
+    shape = (cin, cout) if taps == 1 else (taps, cin, cout)
+    kernel, cbias = _DenseP(shape, name=conv_name, parent=parent)()
+    scale, bbias, mean, var = _BNP(cout, name=bn_name, parent=parent)()
+    s = scale * jax.lax.rsqrt(var + eps)
+    w3 = (kernel if taps == 3 else kernel[None]) * s
+    b = (cbias - mean) * s + bbias
+    w3, b = jax.lax.stop_gradient((w3, b))
+    return nn.relu(pool_affine_max(x, w3, b, 0, True)[:, 0])
+
+
+def _pool_fusable(x, train: bool, point_mask, cout: int) -> bool:
+    from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_matmul_available
+
+    if train or point_mask is not None or x.ndim != 3:
+        return False
+    return pool_matmul_available(x.shape[1], x.shape[-1], cout)
+
+
 def _masked_max(h: jax.Array, point_mask, axis: int = 1) -> jax.Array:
     """Max over the point axis, excluding masked-out (padded) points.
 
@@ -68,8 +141,11 @@ class TransformNet(nn.Module):
         )
         h = nn.relu(bn("bn1")(nn.Dense(64, name="conv1")(x)))
         h = nn.relu(bn("bn2")(nn.Dense(128, name="conv2")(h)))
-        h = nn.relu(bn("bn3")(nn.Dense(1024, name="conv3")(h)))
-        h = _masked_max(h, point_mask)  # [b, 1024]
+        if _pool_fusable(h, train, point_mask, 1024):
+            h = _fused_pool(self, h, "conv3", "bn3", 1024, 1, CONV_BN_EPS)
+        else:
+            h = nn.relu(bn("bn3")(nn.Dense(1024, name="conv3")(h)))
+            h = _masked_max(h, point_mask)  # [b, 1024]
         h = nn.relu(bn("bn4")(nn.Dense(512, name="fc1")(h)))
         h = nn.relu(bn("bn5")(nn.Dense(256, name="fc2")(h)))
         h = nn.Dense(
@@ -125,17 +201,23 @@ class PointNet(nn.Module):
         # same zero-boundary a physically shrunken cloud would.
         if point_mask is not None:
             feat = jnp.where(point_mask[..., None], feat, 0.0)
-        feat = nn.Conv(
-            1024, kernel_size=(3,), padding=[(1, 1)], name="conv5"
-        )(feat)
-        feat = nn.relu(bn("bn5", CONV_BN_EPS)(feat))
-        if self.return_idx and not train:
-            pool_idx = jnp.argmax(
-                feat if point_mask is None
-                else jnp.where(point_mask[..., None], feat, jnp.finfo(feat.dtype).min),
-                axis=1,
-            )  # [b, 1024] critical-point indices
-        feat = _masked_max(feat, point_mask)  # [b, 1024]
+        if not self.return_idx and _pool_fusable(feat, train, point_mask, 1024):
+            feat = _fused_pool(self, feat, "conv5", "bn5", 1024, 3, CONV_BN_EPS)
+        else:
+            feat = nn.Conv(
+                1024, kernel_size=(3,), padding=[(1, 1)], name="conv5"
+            )(feat)
+            feat = nn.relu(bn("bn5", CONV_BN_EPS)(feat))
+            if self.return_idx and not train:
+                pool_idx = jnp.argmax(
+                    feat if point_mask is None
+                    else jnp.where(
+                        point_mask[..., None], feat,
+                        jnp.finfo(feat.dtype).min,
+                    ),
+                    axis=1,
+                )  # [b, 1024] critical-point indices
+            feat = _masked_max(feat, point_mask)  # [b, 1024]
 
         feat = nn.relu(bn("bn6", FC_BN_EPS)(nn.Dense(512, name="fc1")(feat)))
         feat = nn.Dropout(0.3, deterministic=not train)(feat)

@@ -171,13 +171,53 @@ class SharedMLP(nn.Module):
         out = group_mlp_maxpool(gxp, gf, ns, dtype == jnp.float32, ws_and_bs)
         return out.astype(dtype)
 
+    def _can_fuse_pool(self, x, cout: int) -> bool:
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import (
+            pool_matmul_available,
+        )
+
+        if isinstance(x, tuple) or x.ndim != 4:
+            return False
+        b, m, ns, cin = x.shape
+        return ns > 1 and pool_matmul_available(m * ns, cin, cout, seg=ns)
+
+    def _fused_last_pool(self, x, i: int, f: int) -> jax.Array:
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        b, m, ns, cin = x.shape
+        k = _DenseParam((cin, f), name=f"conv{i}")()
+        scale, bias, mean, var = _BNParam(f, name=f"bn{i}")()
+        s = scale * jax.lax.rsqrt(var + BN_EPS)
+        w = (k * s[None, :])[None]  # [1 tap, cin, f]
+        bb = bias - mean * s
+        w, bb = jax.lax.stop_gradient((w, bb))
+        pooled = pool_affine_max(
+            x.reshape(b, m * ns, cin), w, bb, ns, x.dtype == jnp.float32
+        )
+        return nn.relu(pooled).astype(x.dtype)
+
     @nn.compact
     def __call__(
         self, x, train: bool = False, maxpool_hint: bool = False
     ) -> jax.Array:
         if not train and self._can_fuse(x, maxpool_hint):
             return self._fused(x)
+        last = len(self.features) - 1
         for i, f in enumerate(self.features):
+            if (
+                i == last
+                and i > 0
+                and maxpool_hint
+                and not train
+                and self._can_fuse_pool(x, f)
+            ):
+                # fuse ONLY the last affine with the max-over-nsample
+                # (ops/pallas/pool_matmul_kernel.py): the pre-pool
+                # [b, m, ns, c_out] tensor and its backward eq-mask/dX
+                # re-reads never touch HBM. Whole-chain fusion measured
+                # slower (see group_mlp_available); this slice is where
+                # the HBM traffic multiplies.
+                return self._fused_last_pool(x, i, f)
             if i == 0 and isinstance(x, tuple):
                 x = _SplitDense(f, name="conv0")(*x)
             else:

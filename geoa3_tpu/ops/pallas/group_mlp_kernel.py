@@ -36,6 +36,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Pin the kernels' engineered bf16 dot passes against ambient
+# jax.default_matmul_precision (HIGHEST on bf16 operands is rejected by
+# Mosaic, and any override would change the kernels' accuracy contract).
+_PDEF = jax.lax.Precision.DEFAULT
+
 
 def _mm(x, w, f32_exact: bool):
     """[R, ci] @ [ci, co] with f32 accumulation.
@@ -49,19 +54,23 @@ def _mm(x, w, f32_exact: bool):
             w.astype(jnp.bfloat16),
             dimension_numbers=dn,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
     xh = x.astype(jnp.bfloat16)
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     wh = w.astype(jnp.bfloat16)
     wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
-        xh, wh, dimension_numbers=dn, preferred_element_type=jnp.float32
+        xh, wh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     acc += jax.lax.dot_general(
-        xh, wl, dimension_numbers=dn, preferred_element_type=jnp.float32
+        xh, wl, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     acc += jax.lax.dot_general(
-        xl, wh, dimension_numbers=dn, preferred_element_type=jnp.float32
+        xl, wh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     return acc
 
@@ -75,19 +84,23 @@ def _mm_t(g, w, f32_exact: bool):
             w.astype(jnp.bfloat16),
             dimension_numbers=dn,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
     gh = g.astype(jnp.bfloat16)
     gl = (g - gh.astype(jnp.float32)).astype(jnp.bfloat16)
     wh = w.astype(jnp.bfloat16)
     wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
-        gh, wh, dimension_numbers=dn, preferred_element_type=jnp.float32
+        gh, wh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     acc += jax.lax.dot_general(
-        gh, wl, dimension_numbers=dn, preferred_element_type=jnp.float32
+        gh, wl, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     acc += jax.lax.dot_general(
-        gl, wh, dimension_numbers=dn, preferred_element_type=jnp.float32
+        gl, wh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
     return acc
 
@@ -110,14 +123,17 @@ def _tile_forward(gx, gf, ws, bs, ns, f32_exact):
         z1 = jax.lax.dot_general(
             gxh, w1xh, dimension_numbers=dn_x,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
         z1 += jax.lax.dot_general(
             gxh, w1xl, dimension_numbers=dn_x,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
         z1 += jax.lax.dot_general(
             gxl, w1xh, dimension_numbers=dn_x,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
     else:
         z1 = jax.lax.dot_general(
@@ -125,6 +141,7 @@ def _tile_forward(gx, gf, ws, bs, ns, f32_exact):
             w1x.astype(jnp.bfloat16),
             dimension_numbers=dn_x,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
     if gf is not None:
         z1 = z1 + _mm(gf, w1[3:], f32_exact)
@@ -190,13 +207,16 @@ def _bwd_kernel(*refs, ns: int, has_feats: bool, f32_exact: bool):
         wh = w1x.astype(jnp.bfloat16)
         wl = (w1x - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         dgx = jax.lax.dot_general(
-            wh, dh, dimension_numbers=dn, preferred_element_type=jnp.float32
+            wh, dh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
         )
         dgx += jax.lax.dot_general(
-            wh, dl, dimension_numbers=dn, preferred_element_type=jnp.float32
+            wh, dl, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
         )
         dgx += jax.lax.dot_general(
-            wl, dh, dimension_numbers=dn, preferred_element_type=jnp.float32
+            wl, dh, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
         )
     else:
         dgx = jax.lax.dot_general(
@@ -204,6 +224,7 @@ def _bwd_kernel(*refs, ns: int, has_feats: bool, f32_exact: bool):
             dz1.astype(jnp.bfloat16),
             dimension_numbers=dn,
             preferred_element_type=jnp.float32,
+            precision=_PDEF,
         )
     dgx_ref[0] = jnp.concatenate(
         [dgx, jnp.zeros((5, dgx.shape[1]), jnp.float32)], axis=0
@@ -213,10 +234,24 @@ def _bwd_kernel(*refs, ns: int, has_feats: bool, f32_exact: bool):
         dgf_ref[0] = dgf.reshape(dgf_ref.shape[1:]).astype(dgf_ref.dtype)
 
 
-def _pick_gpt(m: int, ns: int) -> int:
-    gpt = max(1, 512 // ns)
+def _pick_gpt(
+    m: int, ns: int, cf: int = 0, widths: Sequence[int] = (64, 64, 128)
+) -> int:
+    """Groups per tile, sized by a VMEM activation budget.
+
+    Round 2 fixed this at 512//ns rows per tile, which degenerated SSG SA1
+    into ~1024 tiles/step whose ~23 us/tile pipeline overhead dwarfed the
+    interlayer-HBM savings (the measured 23.8 vs 9.8 ms f32 regression).
+    The real constraint is VMEM: the backward holds (z_i, a_i) for all
+    three layers plus the gx planes and gf block, so rows-per-tile R obeys
+    4*(8 + cf + 2*sum(widths))*R <= budget. ~8 MB leaves room for Mosaic's
+    double-buffered input/output blocks in 16 MB of VMEM; SA1 lands on
+    gpt=64 (R=4096, 128 tiles/step at b=16), SA2 on gpt=32 (R=2048)."""
+    per_row = 4 * (8 + cf + 2 * sum(widths))
+    r_target = min((8 << 20) // per_row, 8192)
+    gpt = max(1, min(m, r_target // ns))
     while m % gpt:
-        gpt //= 2
+        gpt -= 1
     return max(gpt, 1)
 
 
@@ -262,7 +297,7 @@ def _fwd(gx, gf, ns, f32_exact, ws_and_bs):
     b = gx.shape[0]
     m = gx.shape[2] // ns
     cf = gf.shape[-1] if gf is not None else 0
-    gpt = _pick_gpt(m, ns)
+    gpt = _pick_gpt(m, ns, cf, (w1.shape[1], w2.shape[1], w3.shape[1]))
     c3 = w3.shape[1]
     ws_shapes = [w1.shape, w2.shape, w3.shape]
     kernel = functools.partial(
@@ -294,7 +329,7 @@ def _bwd_rule(ns, f32_exact, res, g):
     b = gx.shape[0]
     m = gx.shape[2] // ns
     cf = gf.shape[-1] if gf is not None else 0
-    gpt = _pick_gpt(m, ns)
+    gpt = _pick_gpt(m, ns, cf, (w1.shape[1], w2.shape[1], w3.shape[1]))
     ws_shapes = [w1.shape, w2.shape, w3.shape]
     kernel = functools.partial(
         _bwd_kernel, ns=ns, has_feats=gf is not None, f32_exact=f32_exact
@@ -355,13 +390,17 @@ def group_mlp_available(
     """Shape gate for the fused SA kernel — OPT-IN via
     GEOA3_ENABLE_GROUPMLP=1.
 
-    Measured on v5e at the SSG attack shapes (b=16, SA1 8192 groups of 64):
-    the fused step is SLOWER than XLA's unfused pipeline (f32 23.8 vs
-    9.8 ms/step, bf16 9.4 vs 7.7) — the grid degenerates into ~2700 small
-    tiles per attack step and per-tile pipeline overhead dwarfs the
-    interlayer-HBM savings, which at bf16 are only ~0.5 ms to begin with.
-    Kept (tested, exact-VJP) for larger-batch regimes and future tile-size
-    tuning; not worth deleting the only fused-victim path over."""
+    Round-2 measured this SLOWER than XLA's unfused pipeline (f32 23.8 vs
+    9.8 ms/step at b=16) with the then-fixed 512-row tiles: ~2700 tiles per
+    attack step at ~23 us/tile pipeline overhead. Round 3 re-tiled by VMEM
+    budget (_pick_gpt: SA1 4096-row tiles -> 128 tiles/step) and
+    re-measured on real TPU: much closer but STILL loses (10.31 vs
+    9.35 ms/step f32 — the fused SA1 fwd+bwd costs 2.65 ms vs ~2.2 ms for
+    XLA's unfused chain; the f32-exact 3-pass dots on 3x the layer FLOPs
+    plus the planes-layout tax outweigh the interlayer-HBM saving). Stays
+    opt-in; the shipping fusion is the narrower last-layer+pool kernel
+    (pool_matmul_kernel.py), which fuses where HBM traffic multiplies
+    without re-doing the MLP FLOPs."""
     import os
 
     if not os.environ.get("GEOA3_ENABLE_GROUPMLP"):
@@ -371,8 +410,8 @@ def group_mlp_available(
         return False
     if len(mlp_widths) != 3:
         return False
-    gpt = _pick_gpt(m, ns)
-    if ns * gpt > 2048:
+    gpt = _pick_gpt(m, ns, cf, mlp_widths)
+    if ns * gpt > 8192:
         return False
     # the planes block's trailing dim R = gpt*ns must be lane-aligned
     # (multiple of 128) whenever the m//gpt grid has more than one step —

@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Pin the kernels' engineered bf16 dot passes against ambient
+# jax.default_matmul_precision (HIGHEST on bf16 operands is rejected by
+# Mosaic, and any override would change the kernels' accuracy contract).
+_PDEF = jax.lax.Precision.DEFAULT
+
 
 def _scatter3_kernel(idx_ref, ct_ref, out_ref, *, k: int, n: int):
     """idx_ref [1, k, n] int32; ct_ref [1, k, 3, n] f32;
@@ -50,10 +55,12 @@ def _scatter3_kernel(idx_ref, ct_ref, out_ref, *, k: int, n: int):
             + jax.lax.dot_general(
                 onehot, hi, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
+                precision=_PDEF,
             )
             + jax.lax.dot_general(
                 onehot, lo, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
+                precision=_PDEF,
             )
         )
     out_ref[0] = acc
@@ -101,9 +108,11 @@ def _scatter_nc_kernel(idx_ref, ct_ref, out_ref, *, sc: int):
     hi = ct_c.astype(jnp.bfloat16)
     lo = (ct_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     contrib = jax.lax.dot_general(
-        onehot, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        onehot, hi, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     ) + jax.lax.dot_general(
-        onehot, lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        onehot, lo, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
 
     @pl.when(ci == 0)
@@ -180,9 +189,11 @@ def _scatter3t_kernel(idx_ref, ct_ref, out_ref, *, sc: int):
     lo = (ct - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((), ()))  # contract sc with sc (B transposed)
     contrib = jax.lax.dot_general(
-        hi, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+        hi, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     ) + jax.lax.dot_general(
-        lo, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+        lo, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_PDEF
     )
 
     @pl.when(ci == 0)

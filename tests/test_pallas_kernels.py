@@ -320,3 +320,187 @@ class TestGroupMLPKernel:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
         )
+
+
+class TestPoolMatmulKernel:
+    """Fused affine+maxpool kernel vs unfused XLA (interpret mode)."""
+
+    def _make(self, rng, b, n, cin, cout, taps=1):
+        x = jnp.asarray(rng.randn(b, n, cin).astype(np.float32))
+        shape = (taps, cin, cout)
+        w = jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.2)
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+        return x, w, bias
+
+    @staticmethod
+    def _oracle_global(x, w, bias):
+        z = jnp.einsum("bnc,cd->bnd", x, w[0]) + bias
+        return jnp.max(z, axis=1, keepdims=True)
+
+    @staticmethod
+    def _oracle_conv3(x, w, bias):
+        xm1 = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        xp1 = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+        z = (
+            jnp.einsum("bnc,cd->bnd", xm1, w[0])
+            + jnp.einsum("bnc,cd->bnd", x, w[1])
+            + jnp.einsum("bnc,cd->bnd", xp1, w[2])
+            + bias
+        )
+        return jnp.max(z, axis=1, keepdims=True)
+
+    @staticmethod
+    def _oracle_seg(x, w, bias, seg):
+        b, r, cin = x.shape
+        z = jnp.einsum("bnc,cd->bnd", x, w[0]) + bias
+        return jnp.max(z.reshape(b, r // seg, seg, -1), axis=2)
+
+    def test_global_pool_matches_oracle(self, rng):
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        x, w, bias = self._make(rng, 2, 64, 128, 256)
+        ref = self._oracle_global(x, w, bias)
+        out = pool_affine_max(x, w, bias, 0, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+        gr = jax.grad(lambda x: jnp.sum(self._oracle_global(x, w, bias) ** 2))(x)
+        gk = jax.grad(lambda x: jnp.sum(pool_affine_max(x, w, bias, 0, True) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-3
+        )
+
+    def test_conv3_pool_matches_oracle(self, rng):
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        x, w, bias = self._make(rng, 2, 64, 128, 256, taps=3)
+        ref = self._oracle_conv3(x, w, bias)
+        out = pool_affine_max(x, w, bias, 0, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+        gr = jax.grad(lambda x: jnp.sum(self._oracle_conv3(x, w, bias) ** 2))(x)
+        gk = jax.grad(lambda x: jnp.sum(pool_affine_max(x, w, bias, 0, True) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-3
+        )
+
+    def test_conv3_matches_flax_conv(self, rng):
+        """Tap orientation against the real nn.Conv SAME-padding semantics."""
+        import flax.linen as fnn
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        x, w, bias = self._make(rng, 2, 32, 128, 128, taps=3)
+        conv = fnn.Conv(128, kernel_size=(3,), padding=[(1, 1)])
+        ref = jnp.max(
+            conv.apply({"params": {"kernel": w, "bias": bias}}, x), axis=1
+        )
+        out = pool_affine_max(x, w, bias, 0, True)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_segmented_pool_with_ties(self, rng):
+        """Duplicate rows inside segments (ball-query first-hit padding)
+        create exact ties; gradients must split like jnp.max's VJP."""
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        g, s = 16, 8
+        x, w, bias = self._make(rng, 2, g * s, 64, 128)
+        x4 = x.reshape(2, g, s, 64)
+        x4 = x4.at[:, :, 1::2].set(x4[:, :, ::2])  # every row duplicated
+        x = x4.reshape(2, g * s, 64)
+        ref = self._oracle_seg(x, w, bias, s)
+        out = pool_affine_max(x, w, bias, s, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+        gr = jax.grad(lambda x: jnp.sum(self._oracle_seg(x, w, bias, s) ** 2))(x)
+        gk = jax.grad(lambda x: jnp.sum(pool_affine_max(x, w, bias, s, True) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-3
+        )
+
+    def test_pointnet_forced_fusion_matches_unfused(self, rng, monkeypatch):
+        """PointNet logits with the fused pools forced on (interpret mode)
+        must match the unfused eval forward."""
+        import geoa3_tpu.ops.pallas.pool_matmul_kernel as pmk
+        from geoa3_tpu.models.pointnet import PointNet
+
+        model = PointNet(classes=40, npoint=256)
+        pc = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, pc, train=False
+        )
+        ref = model.apply(variables, pc, train=False)
+        monkeypatch.setattr(pmk, "pallas_available", lambda: True)
+        fused = model.apply(variables, pc, train=False)
+        assert not np.allclose(0, np.asarray(ref))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
+        )
+        # input gradients through all three fused pools
+        gr = jax.grad(
+            lambda p: jnp.sum(model.apply(variables, p, train=False) ** 2)
+        )(pc)
+        monkeypatch.undo()
+        gk_ref = jax.grad(
+            lambda p: jnp.sum(model.apply(variables, p, train=False) ** 2)
+        )(pc)
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gk_ref), rtol=5e-3, atol=5e-3
+        )
+
+    def test_pnpp_last_pool_forced_matches_unfused(self, rng, monkeypatch):
+        """PN++ SSG with the fused last-layer pool forced on must match."""
+        import geoa3_tpu.ops.pallas.pool_matmul_kernel as pmk
+        from geoa3_tpu.models.pointnetpp import PointNet2ClassificationSSG
+
+        model = PointNet2ClassificationSSG(classes=40)
+        pc = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, pc, train=False
+        )
+        ref = model.apply(variables, pc, train=False)
+        monkeypatch.setattr(pmk, "pallas_available", lambda: True)
+        fused = model.apply(variables, pc, train=False)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
+        )
+
+
+class TestAmbientPrecisionPinned:
+    """The kernels' engineered bf16 dot passes must be invariant under
+    ambient jax.default_matmul_precision — HIGHEST on bf16 operands is
+    rejected outright by Mosaic on real TPU (observed: 'Bad lhs type' when
+    differentiating PN++ under a default_matmul_precision('highest')
+    context), and any silent override would change the kernels' accuracy
+    contract. All kernel dots pin precision explicitly (_PDEF)."""
+
+    def test_scatter_invariant_under_highest(self, rng):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_pallas
+
+        b, n, k, m = 2, 64, 5, 256
+        idx = jnp.asarray(rng.randint(0, m, (b, n, k)), jnp.int32)
+        ct = jnp.asarray(rng.randn(b, n, k, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            base = scatter_add_pallas(idx, ct, m)
+            with jax.default_matmul_precision("highest"):
+                amb = scatter_add_pallas(idx, ct, m)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(amb))
+
+    def test_pool_kernel_invariant_under_highest(self, rng):
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+
+        x = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 128, 128).astype(np.float32))
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+
+        def f(x):
+            return jnp.sum(pool_affine_max(x, w, b, 8, True) ** 2)
+
+        base, gbase = jax.value_and_grad(f)(x)
+        with jax.default_matmul_precision("highest"):
+            amb, gamb = jax.value_and_grad(f)(x)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(amb))
+        np.testing.assert_array_equal(np.asarray(gbase), np.asarray(gamb))
