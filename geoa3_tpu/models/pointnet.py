@@ -87,8 +87,13 @@ def _fused_pool(parent, x, conv_name, bn_name, cout, taps, eps):
     applies the ReLU after the pool (max and ReLU commute; tie/clamp
     gradients agree — see the kernel docstring). Attack path only: the
     folded params pass through stop_gradient, matching the frozen-victim
-    contract (weight grads come from the unfused train path)."""
-    from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+    contract (weight grads come from the unfused train path). Dot
+    precision matches the platform's default lowering of the unfused
+    victim (see platform_f32_exact)."""
+    from geoa3_tpu.ops.pallas.pool_matmul_kernel import (
+        platform_f32_exact,
+        pool_affine_max,
+    )
 
     cin = x.shape[-1]
     shape = (cin, cout) if taps == 1 else (taps, cin, cout)
@@ -98,7 +103,7 @@ def _fused_pool(parent, x, conv_name, bn_name, cout, taps, eps):
     w3 = (kernel if taps == 3 else kernel[None]) * s
     b = (cbias - mean) * s + bbias
     w3, b = jax.lax.stop_gradient((w3, b))
-    return nn.relu(pool_affine_max(x, w3, b, 0, True)[:, 0])
+    return nn.relu(pool_affine_max(x, w3, b, 0, platform_f32_exact())[:, 0])
 
 
 def _pool_fusable(x, train: bool, point_mask, cout: int) -> bool:

@@ -182,7 +182,10 @@ class SharedMLP(nn.Module):
         return ns > 1 and pool_matmul_available(m * ns, cin, cout, seg=ns)
 
     def _fused_last_pool(self, x, i: int, f: int) -> jax.Array:
-        from geoa3_tpu.ops.pallas.pool_matmul_kernel import pool_affine_max
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import (
+            platform_f32_exact,
+            pool_affine_max,
+        )
 
         b, m, ns, cin = x.shape
         k = _DenseParam((cin, f), name=f"conv{i}")()
@@ -191,8 +194,11 @@ class SharedMLP(nn.Module):
         w = (k * s[None, :])[None]  # [1 tap, cin, f]
         bb = bias - mean * s
         w, bb = jax.lax.stop_gradient((w, bb))
+        # dot precision matches the platform's default lowering of the
+        # unfused victim (platform_f32_exact); bf16 victims single-pass
         pooled = pool_affine_max(
-            x.reshape(b, m * ns, cin), w, bb, ns, x.dtype == jnp.float32
+            x.reshape(b, m * ns, cin), w, bb, ns,
+            x.dtype == jnp.float32 and platform_f32_exact(),
         )
         return nn.relu(pooled).astype(x.dtype)
 

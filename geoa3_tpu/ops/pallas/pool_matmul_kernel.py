@@ -214,6 +214,25 @@ def _interpret() -> bool:
         return True
 
 
+def platform_f32_exact() -> bool:
+    """Whether a victim's fused pool should run the split-bf16 3-pass dots.
+
+    The point of the fused pool is to replace the unfused XLA pipeline at
+    EQUAL numerics and lower HBM traffic. On TPU, XLA lowers the victim's
+    default-precision f32 dots to single-pass bf16 (operands rounded, f32
+    accumulate) — so the matching kernel mode is f32_exact=False; running
+    3-pass there triples the pool's MXU time for precision the rest of the
+    victim never had (measured: 2.12 -> ~0.7 ms/step across PointNet's
+    three pools). Off-TPU (CPU tests, interpret mode) XLA computes true
+    f32 dots, so the matching mode is f32_exact=True. Loss-geometry
+    kernels (kNN/scatter/chamfer) keep their own f32-exact contract —
+    this helper is only for victim-network affines."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
 def pool_matmul_available(
     n: int, cin: int, cout: int, seg: int = 0, taps: int = 1
 ) -> bool:
