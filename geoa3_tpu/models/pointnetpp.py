@@ -23,7 +23,7 @@ Parity notes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,18 @@ class _SplitDense(nn.Module):
             jnp.float32,
         )
         return a @ kernel[:wa] + b @ kernel[wa:]
+
+
+class _PlanesGroup(NamedTuple):
+    """Pre-grouped SA input from the fused ball-query+group kernel
+    (ops/pallas/ballquery_group_kernel.py): center-subtracted xyz planes
+    and grouped features, already in the fused SA MLP kernel's layout —
+    SharedMLP routes this straight into the fused path (no XLA-side
+    grouped tensors, no layout copies)."""
+
+    gxp: jax.Array  # [b, 8, m*ns] f32, rows 3..7 zero
+    gf: Optional[jax.Array]  # [b, m, ns, cf] | None
+    ns: int
 
 
 class _DenseParam(nn.Module):
@@ -142,13 +154,19 @@ class SharedMLP(nn.Module):
     def _fused(self, x) -> jax.Array:
         from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
 
-        if isinstance(x, tuple):
-            gx, gf = x
-            cf = gf.shape[-1]
+        if isinstance(x, _PlanesGroup):
+            gxp, gf, ns = x.gxp, x.gf, x.ns
+            cf = gf.shape[-1] if gf is not None else 0
+            b = gxp.shape[0]
+            dtype = gxp.dtype
         else:
-            gx, gf, cf = x, None, 0
-        b, m, ns, _ = gx.shape
-        dtype = gx.dtype
+            if isinstance(x, tuple):
+                gx, gf = x
+                cf = gf.shape[-1]
+            else:
+                gx, gf, cf = x, None, 0
+            b, m, ns, _ = gx.shape
+            dtype = gx.dtype
         ws_and_bs = []
         cin = 3 + cf
         for i, f in enumerate(self.features):
@@ -158,17 +176,25 @@ class SharedMLP(nn.Module):
             ws_and_bs.append((k * s[None, :]).astype(dtype))
             ws_and_bs.append(((bias - mean * s)[None, :]).astype(dtype))
             cin = f
-        # planes layout [b, 8, m*ns] (a [..., 3]-minor tensor pads 3 lanes
-        # to 128 on TPU)
-        gxp = gx.transpose(0, 3, 1, 2).reshape(b, 3, m * ns)
-        gxp = jnp.concatenate(
-            [gxp, jnp.zeros((b, 5, m * ns), gxp.dtype)], axis=1
-        )
+        if not isinstance(x, _PlanesGroup):
+            # planes layout [b, 8, m*ns] (a [..., 3]-minor tensor pads 3
+            # lanes to 128 on TPU)
+            gxp = gx.transpose(0, 3, 1, 2).reshape(b, 3, m * ns)
+            gxp = jnp.concatenate(
+                [gxp, jnp.zeros((b, 5, m * ns), gxp.dtype)], axis=1
+            )
         # the fused kernel's VJP only differentiates the INPUTS (the attack
         # path); make the non-differentiability of the folded params explicit
         # at the call site instead of relying on zero cotangents in the VJP
         ws_and_bs = jax.tree.map(jax.lax.stop_gradient, tuple(ws_and_bs))
-        out = group_mlp_maxpool(gxp, gf, ns, dtype == jnp.float32, ws_and_bs)
+        # dot precision matches the platform's default lowering of the
+        # unfused victim (see pool_matmul_kernel.platform_f32_exact)
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import platform_f32_exact
+
+        out = group_mlp_maxpool(
+            gxp, gf, ns,
+            dtype == jnp.float32 and platform_f32_exact(), ws_and_bs,
+        )
         return out.astype(dtype)
 
     def _can_fuse_pool(self, x, cout: int) -> bool:
@@ -179,6 +205,14 @@ class SharedMLP(nn.Module):
         if isinstance(x, tuple) or x.ndim != 4:
             return False
         b, m, ns, cin = x.shape
+        # m > 1 measured SLOWER than unfused (SSG 10.90 vs 9.35 ms/step):
+        # the kernel's standard-layout x/dx blocks force XLA to insert
+        # ~0.4-0.6 ms layout copies around the [b, m, ns, c] activations,
+        # eating more than the pool fusion saves. GroupAll (m == 1) is
+        # layout-trivial and keeps the win; grouped SAs go through the
+        # whole-MLP fused kernel (group_mlp_available) instead.
+        if m != 1:
+            return False
         return ns > 1 and pool_matmul_available(m * ns, cin, cout, seg=ns)
 
     def _fused_last_pool(self, x, i: int, f: int) -> jax.Array:
@@ -206,6 +240,11 @@ class SharedMLP(nn.Module):
     def __call__(
         self, x, train: bool = False, maxpool_hint: bool = False
     ) -> jax.Array:
+        if isinstance(x, _PlanesGroup):
+            # pre-grouped planes from the fused ball-query+group kernel:
+            # only the fused SA path can consume them (the SA module gates
+            # on the same availability checks before producing them)
+            return self._fused(x)
         if not train and self._can_fuse(x, maxpool_hint):
             return self._fused(x)
         last = len(self.features) - 1
@@ -238,6 +277,29 @@ class SharedMLP(nn.Module):
         if maxpool_hint:
             x = jnp.max(x, axis=2)  # max over nsample -> [b, m, c_out]
         return x
+
+
+def _fused_query_group_ok(
+    xyz, new_xyz, ns: int, widths, features, use_xyz: bool
+) -> bool:
+    """Gate for the fused ball-query+group -> fused SA MLP pipeline: both
+    kernels must accept the shapes (they are a matched pair — the planes
+    output only feeds group_mlp_maxpool), eval-mode f32 only."""
+    from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
+        ball_query_group_available,
+    )
+    from geoa3_tpu.ops.pallas.group_mlp_kernel import (
+        group_mlp_available,
+        pallas_available,
+    )
+
+    if not (use_xyz and pallas_available() and xyz.dtype == jnp.float32):
+        return False
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    cf = features.shape[-1] if features is not None else 0
+    return group_mlp_available(ns, m, widths, cf) and (
+        ball_query_group_available(n, m, ns, cf)
+    )
 
 
 def _query_and_group(
@@ -305,14 +367,28 @@ class PointnetSAModuleMSG(nn.Module):
         outs = []
         for i in range(len(self.radii)):
             if self.npoint is not None:
-                grouped = _query_and_group(
-                    self.radii[i],
-                    self.nsamples[i],
-                    xyz,
-                    new_xyz,
-                    features,
-                    self.use_xyz,
-                )
+                if not train and _fused_query_group_ok(
+                    xyz, new_xyz, self.nsamples[i],
+                    tuple(self.mlps[i]), features, self.use_xyz,
+                ):
+                    from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
+                        ball_query_group_planes,
+                    )
+
+                    gxp, gf = ball_query_group_planes(
+                        self.radii[i], self.nsamples[i], xyz, new_xyz,
+                        features,
+                    )
+                    grouped = _PlanesGroup(gxp, gf, self.nsamples[i])
+                else:
+                    grouped = _query_and_group(
+                        self.radii[i],
+                        self.nsamples[i],
+                        xyz,
+                        new_xyz,
+                        features,
+                        self.use_xyz,
+                    )
             else:
                 grouped = _group_all(xyz, features, self.use_xyz)
             h = SharedMLP(

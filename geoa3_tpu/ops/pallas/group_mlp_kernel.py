@@ -387,24 +387,21 @@ def _interpret() -> bool:
 def group_mlp_available(
     ns: int, m: int, mlp_widths: Sequence[int], cf: int
 ) -> bool:
-    """Shape gate for the fused SA kernel — OPT-IN via
-    GEOA3_ENABLE_GROUPMLP=1.
+    """Shape gate for the fused SA kernel — DEFAULT ON (kill switch
+    GEOA3_DISABLE_PALLAS=groupmlp).
 
-    Round-2 measured this SLOWER than XLA's unfused pipeline (f32 23.8 vs
-    9.8 ms/step at b=16) with the then-fixed 512-row tiles: ~2700 tiles per
-    attack step at ~23 us/tile pipeline overhead. Round 3 re-tiled by VMEM
-    budget (_pick_gpt: SA1 4096-row tiles -> 128 tiles/step) and
-    re-measured on real TPU: much closer but STILL loses (10.31 vs
-    9.35 ms/step f32 — the fused SA1 fwd+bwd costs 2.65 ms vs ~2.2 ms for
-    XLA's unfused chain; the f32-exact 3-pass dots on 3x the layer FLOPs
-    plus the planes-layout tax outweigh the interlayer-HBM saving). Stays
-    opt-in; the shipping fusion is the narrower last-layer+pool kernel
-    (pool_matmul_kernel.py), which fuses where HBM traffic multiplies
-    without re-doing the MLP FLOPs."""
+    Measurement history (same SSG attack step, b=16, trace-timed): round 2
+    fixed 512-row tiles lost badly (f32 23.8 vs 9.8 ms/step — ~2700 tiles
+    at ~23 us/tile pipeline overhead) and the kernel shipped opt-in as a
+    dead end. Round 3 re-tiled by VMEM budget (_pick_gpt: SA1 4096-row
+    tiles -> 128 tiles/step), which cut it to 10.31 vs 9.35 — still losing
+    to the f32-exact 3-pass dots tripling the MXU time. Switching the dots
+    to the platform's default precision (single-pass bf16, f32 accumulate
+    — exactly what XLA does to the unfused victim's f32 dots; see
+    pool_matmul_kernel.platform_f32_exact) flipped it to a WIN: 8.45 vs
+    9.35 ms/step (0.378 vs 0.327 attacks/s). Now the default eval path."""
     import os
 
-    if not os.environ.get("GEOA3_ENABLE_GROUPMLP"):
-        return False
     flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
     if "all" in flags or "groupmlp" in flags:
         return False

@@ -31,7 +31,7 @@ def run(model, name, b, n):
     rng = np.random.RandomState(0)
     pc = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
     variables = model.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
-    os.environ["GEOA3_DISABLE_PALLAS"] = "pool"
+    os.environ["GEOA3_DISABLE_PALLAS"] = "pool,groupmlp"
     with jax.default_matmul_precision("highest"):
         lo, go = logits_and_grad(model, variables, pc)
     lu, gu = logits_and_grad(model, variables, pc)

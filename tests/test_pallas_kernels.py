@@ -504,3 +504,143 @@ class TestAmbientPrecisionPinned:
             amb, gamb = jax.value_and_grad(f)(x)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(amb))
         np.testing.assert_array_equal(np.asarray(gbase), np.asarray(gamb))
+
+
+class TestBallQueryGroupKernel:
+    """Fused ball-query+group kernel vs the ball_query/group_points oracle
+    (interpret mode). Semantics under test: first-nsample hits in index
+    order, first-hit padding, empty-ball -> index 0, center-subtract,
+    feature grouping, and the matmul-scatter VJP."""
+
+    def _oracle(self, radius, ns, xyz, new_xyz, feats):
+        from geoa3_tpu import ops
+
+        idx = ops.ball_query(radius, ns, xyz, new_xyz)
+        gx = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        gf = ops.group_points(feats, idx) if feats is not None else None
+        return gx, gf
+
+    def _planes_to_4d(self, gxp, m, ns):
+        b = gxp.shape[0]
+        return jnp.transpose(
+            gxp[:, :3, :].reshape(b, 3, m, ns), (0, 2, 3, 1)
+        )
+
+    @pytest.mark.parametrize(
+        "n,m,ns,cf,radius",
+        [(256, 64, 32, 0, 0.4), (256, 32, 16, 128, 0.5)],
+    )
+    def test_matches_oracle(self, rng, n, m, ns, cf, radius):
+        from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
+            ball_query_group_planes,
+        )
+
+        xyz = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 0.5)
+        # centers are members of xyz (the FPS contract)
+        new_xyz = xyz[:, :m]
+        feats = (
+            jnp.asarray(rng.randn(2, n, cf).astype(np.float32))
+            if cf else None
+        )
+        gxp, gf = ball_query_group_planes(radius, ns, xyz, new_xyz, feats)
+        want_gx, want_gf = self._oracle(radius, ns, xyz, new_xyz, feats)
+        got_gx = self._planes_to_4d(gxp, m, ns)
+        np.testing.assert_array_equal(np.asarray(got_gx), np.asarray(want_gx))
+        assert not np.asarray(gxp[:, 3:]).any()
+        if cf:
+            np.testing.assert_array_equal(np.asarray(gf), np.asarray(want_gf))
+
+    def test_empty_and_overfull_balls(self, rng):
+        from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
+            ball_query_group_planes,
+        )
+
+        n, m, ns = 256, 32, 16
+        xyz = np.zeros((1, n, 3), np.float32)
+        xyz[0, :, 0] = np.linspace(0.0, 10.0, n)  # a line: sparse far end
+        xyz[0, :64] = rng.randn(64, 3) * 0.01  # dense cluster: overfull
+        xyz = jnp.asarray(xyz)
+        new_xyz = jnp.asarray(
+            np.concatenate(
+                [np.asarray(xyz[:, :16]),
+                 np.full((1, 16, 3), 100.0, np.float32)],  # empty balls
+                axis=1,
+            )
+        )
+        gxp, _ = ball_query_group_planes(0.3, ns, xyz, new_xyz, None)
+        want_gx, _ = self._oracle(0.3, ns, xyz, new_xyz, None)
+        got_gx = self._planes_to_4d(gxp, m, ns)
+        np.testing.assert_array_equal(np.asarray(got_gx), np.asarray(want_gx))
+
+    def test_grad_matches_oracle(self, rng):
+        from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
+            ball_query_group_planes,
+        )
+
+        n, m, ns, cf = 256, 32, 16, 128
+        xyz = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 0.5)
+        new_xyz = xyz[:, :m]
+        feats = jnp.asarray(rng.randn(2, n, cf).astype(np.float32))
+        wx = jnp.asarray(rng.randn(2, 8, m * ns).astype(np.float32))
+        wf = jnp.asarray(rng.randn(2, m, ns, cf).astype(np.float32))
+
+        def loss_kernel(xyz, new_xyz, feats):
+            gxp, gf = ball_query_group_planes(0.5, ns, xyz, new_xyz, feats)
+            return jnp.sum(gxp * wx) + jnp.sum(gf * wf)
+
+        def loss_oracle(xyz, new_xyz, feats):
+            gx, gf = self._oracle(0.5, ns, xyz, new_xyz, feats)
+            gxp = jnp.concatenate(
+                [
+                    jnp.transpose(gx, (0, 3, 1, 2)).reshape(2, 3, m * ns),
+                    jnp.zeros((2, 5, m * ns)),
+                ],
+                axis=1,
+            )
+            return jnp.sum(gxp * wx) + jnp.sum(gf * wf)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(xyz, new_xyz, feats)
+        go = jax.grad(loss_oracle, argnums=(0, 1, 2))(xyz, new_xyz, feats)
+        # scatter runs 2-split bf16 passes (~2^-16 relative, the
+        # scatter_kernel contract) — not bitwise
+        for a, b, tag in zip(gk, go, ("xyz", "new_xyz", "feats")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=tag,
+            )
+
+
+class TestFusedQueryGroupPipeline:
+    """Full fused pipeline (ball-query+group kernel -> fused SA MLP) forced
+    on in interpret mode: PN++ SSG logits AND input grads must match the
+    unfused eval path."""
+
+    def test_ssg_logits_and_grads_match(self, rng, monkeypatch):
+        import geoa3_tpu.ops.pallas.ballquery_group_kernel as bqk
+        import geoa3_tpu.ops.pallas.group_mlp_kernel as gmk
+        from geoa3_tpu.models.pointnetpp import PointNet2ClassificationSSG
+
+        model = PointNet2ClassificationSSG(classes=40)
+        # n=1024 so every SA shape matches the production attack shapes
+        # (and the bqgroup n % 128 gate)
+        pc = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32) * 0.5)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, pc, train=False
+        )
+
+        def f(p):
+            return model.apply(variables, p, train=False)
+
+        ref = f(pc)
+        gref = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
+        monkeypatch.setattr(gmk, "pallas_available", lambda: True)
+        monkeypatch.setattr(bqk, "pallas_available", lambda: True)
+        fused = f(pc)
+        gfused = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
+        assert not np.allclose(0, np.asarray(gref))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gfused), np.asarray(gref), rtol=5e-3, atol=5e-3
+        )
