@@ -73,14 +73,16 @@ def _split_dot(a, b_bf16, dn, k: int):
     return acc
 
 
-def _hit_rank(xp8, cp8, r2):
+def _hit_rank(xp8, cr, r2):
     """hit [gbm, n] bool, rank [gbm, n] f32 (inclusive index-cumsum),
-    cnt [gbm, 1] f32. Counts <= n stay integer-exact in f32."""
+    cnt [gbm, 1] f32. cr: center ROWS [gbm, 8] (Mosaic needs the block's
+    trailing dim full, so centers travel row-major). Counts <= n stay
+    integer-exact in f32."""
     n = xp8.shape[1]
     x2 = jnp.sum(xp8 * xp8, axis=0)[None, :]  # [1, n]
-    c2 = jnp.sum(cp8 * cp8, axis=0)[:, None]  # [gbm, 1]
+    c2 = jnp.sum(cr * cr, axis=1)[:, None]  # [gbm, 1]
     cx = jax.lax.dot_general(
-        cp8, xp8, dimension_numbers=(((0,), (0,)), ((), ())),
+        cr, xp8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
     )  # [gbm, n]
     d = c2 + x2 - 2.0 * cx
@@ -99,6 +101,17 @@ def _hit_rank(xp8, cp8, r2):
     return hit, rank, cnt
 
 
+def _expander(cb: int, ns: int):
+    """E [cb, cb*ns] bf16: E[c, c*ns+s] = 1 — replicate-per-slot (and its
+    transpose, sum-per-center) as MXU matmuls; Mosaic cannot shape-cast a
+    lane-dim collapse like [8, cb, ns] -> [8, cb*ns]."""
+    colc = jax.lax.broadcasted_iota(jnp.int32, (cb, cb * ns), 1)
+    rowc = jax.lax.broadcasted_iota(jnp.int32, (cb, cb * ns), 0)
+    return ((colc >= rowc * ns) & (colc < (rowc + 1) * ns)).astype(
+        jnp.bfloat16
+    )
+
+
 def _onehot_chunk(hit, rank, cnt, ns: int, c0: int, cb: int):
     """S [cb*ns, n] bf16 for centers [c0, c0+cb): S[c*ns+s, j] = 1 iff
     point j fills slot s of center c (first-hit order + padding)."""
@@ -107,15 +120,21 @@ def _onehot_chunk(hit, rank, cnt, ns: int, c0: int, cb: int):
     ht = hit[c0 : c0 + cb]
     ct = cnt[c0 : c0 + cb]  # [cb, 1]
     s1 = (
-        jax.lax.broadcasted_iota(jnp.float32, (1, ns, 1), 1) + 1.0
-    )  # slot rank targets 1..ns
+        jax.lax.broadcasted_iota(jnp.int32, (1, ns, 1), 1) + 1
+    ).astype(jnp.float32)  # slot rank targets 1..ns (int iota: Mosaic
+    # rejects float tpu.iota)
     # slots past the hit count repeat the FIRST hit (rank 1) — the CUDA
     # kernel pre-fills every slot with hit 0 (ball_query_gpu.cu:33-41)
     tgt = jnp.where(s1 <= ct[:, None, :], s1, 1.0)  # [cb, ns, 1]
-    oh = (rk[:, None, :] == tgt) & ht[:, None, :]
-    # empty ball: every slot -> point 0 (ops.ball_query contract)
-    j0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == 0
-    oh = jnp.where((ct[:, None, :] == 0.0), j0, oh)
+    oh = ((rk[:, None, :] == tgt) & ht[:, None, :]).astype(jnp.float32)
+    # empty ball: every slot -> point 0 (ops.ball_query contract); float
+    # blend instead of a bool select (Mosaic cannot truncate i8 selects
+    # back to i1 on 3D vectors)
+    j0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == 0
+    ).astype(jnp.float32)
+    empty = (ct[:, None, :] == 0.0).astype(jnp.float32)
+    oh = oh * (1.0 - empty) + j0 * empty
     return oh.reshape(cb * ns, n).astype(jnp.bfloat16)
 
 
@@ -126,9 +145,10 @@ def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
         xp_ref, cp_ref, gxp_ref = refs
         f_ref = gf_ref = None
     xp8 = xp_ref[0]  # [8, n]
-    cp8 = cp_ref[0]  # [8, gbm]
-    gbm = cp8.shape[1]
-    hit, rank, cnt = _hit_rank(xp8, cp8, r2)
+    cr = cp_ref[0]  # [gbm, 8] center rows
+    gbm = cr.shape[0]
+    hit, rank, cnt = _hit_rank(xp8, cr, r2)
+    cp8 = jnp.swapaxes(cr, 0, 1)  # [8, gbm]
     xsplits = _splits(xp8, 3)
     fsplits = _splits(f_ref[0], 3) if cf else None
     dn_g = (((1,), (1,)), ((), ()))  # [8, n] x [R, n] -> [8, R]
@@ -142,8 +162,13 @@ def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
                 preferred_element_type=jnp.float32, precision=_PDEF,
             )
             g8 = t if g8 is None else g8 + t
-        centers = jnp.repeat(cp8[:, c0 : c0 + cb], ns, axis=1)  # [8, cb*ns]
-        gxp_ref[0, :, c0 * ns : (c0 + cb) * ns] = g8 - centers
+        # replicate each center across its ns slots via the expander
+        # matmul (3-split: exact f32 copies, one nonzero per column)
+        crep = _split_dot(
+            cp8[:, c0 : c0 + cb], _expander(cb, ns),
+            (((1,), (0,)), ((), ())), 3,
+        )  # [8, cb*ns]
+        gxp_ref[0, :, c0 * ns : (c0 + cb) * ns] = g8 - crep
         if cf:
             gfc = None
             for fh in fsplits:
@@ -163,10 +188,10 @@ def _bwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
         xp_ref, cp_ref, dgxp_ref, dxp_ref, dcp_ref = refs
         dgf_ref = df_ref = None
     xp8 = xp_ref[0]
-    cp8 = cp_ref[0]
-    gbm = cp8.shape[1]
+    cr = cp_ref[0]  # [gbm, 8]
+    gbm = cr.shape[0]
     n = xp8.shape[1]
-    hit, rank, cnt = _hit_rank(xp8, cp8, r2)
+    hit, rank, cnt = _hit_rank(xp8, cr, r2)
     j = pl.program_id(1)
     dn_x = (((1,), (0,)), ((), ()))  # [8, R] x [R, n] -> [8, n]
     dn_ft = (((0,), (0,)), ((), ()))  # [R, n] x [R, cf] -> [n, cf]
@@ -180,10 +205,13 @@ def _bwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
                 dh, oh, dimension_numbers=dn_x,
                 preferred_element_type=jnp.float32, precision=_PDEF,
             )
-        # center-subtract cotangent: dc = -sum_s dgxp
-        dcp_ref[0, :, c0 : c0 + cb] = -jnp.sum(
-            dg8.reshape(8, cb, ns), axis=2
-        )
+        # center-subtract cotangent: dc = -sum_s dgxp (row-major out);
+        # the per-center sum is the transposed expander matmul (2-split,
+        # cotangent contract)
+        dc8 = _split_dot(
+            dg8, _expander(cb, ns), (((1,), (1,)), ((), ())), 2
+        )  # [8, cb]
+        dcp_ref[0, c0 : c0 + cb, :] = -jnp.swapaxes(dc8, 0, 1)
         if cf:
             dgfc = dgf_ref[0, c0 : c0 + cb].reshape(cb * ns, cf)
             for dh in _splits(dgfc, 2):
@@ -232,6 +260,16 @@ def _planes(x):
     return jnp.concatenate([xp, jnp.zeros((b, 5, k), jnp.float32)], axis=1)
 
 
+def _rows8(x):
+    """[b, k, 3] -> [b, k, 8] rows (cols 3..7 zero; trailing dim full-8
+    keeps Mosaic's block rules happy where a [8, k] planes block with
+    k < 128 would not)."""
+    b, k, _ = x.shape
+    return jnp.concatenate(
+        [x.astype(jnp.float32), jnp.zeros((b, k, 5), jnp.float32)], axis=2
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def ball_query_group_planes(radius, nsample, xyz, new_xyz, features):
     """Fused ball-query + group: xyz [b, n, 3], new_xyz [b, m, 3],
@@ -250,13 +288,13 @@ def _fwd(radius, nsample, xyz, new_xyz, features):
     gbm = _pick_gbm(m, ns)
     cb = _cb(gbm, ns)
     xp = _planes(jax.lax.stop_gradient(xyz))
-    cp = _planes(jax.lax.stop_gradient(new_xyz))
+    cp = _rows8(jax.lax.stop_gradient(new_xyz))
     kernel = functools.partial(
         _fwd_kernel, ns=ns, cb=cb, cf=cf, r2=float(radius) * float(radius)
     )
     in_specs = [
         pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, 8, gbm), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, gbm, 8), lambda i, j: (i, j, 0)),
     ]
     args = [xp, cp]
     out_specs = [pl.BlockSpec((1, 8, gbm * ns), lambda i, j: (i, 0, j))]
@@ -296,13 +334,13 @@ def _bwd_rule(radius, nsample, res, cts):
     gbm = _pick_gbm(m, ns)
     cb = _cb(gbm, ns)
     xp = _planes(xyz)
-    cp = _planes(new_xyz)
+    cp = _rows8(new_xyz)
     kernel = functools.partial(
         _bwd_kernel, ns=ns, cb=cb, cf=cf, r2=float(radius) * float(radius)
     )
     in_specs = [
         pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, 8, gbm), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, gbm, 8), lambda i, j: (i, j, 0)),
     ]
     args = [xp, cp]
     if cf:
@@ -312,11 +350,11 @@ def _bwd_rule(radius, nsample, res, cts):
     args.append(dgxp.astype(jnp.float32))
     out_specs = [
         pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, 8, gbm), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, gbm, 8), lambda i, j: (i, j, 0)),
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
-        jax.ShapeDtypeStruct((b, 8, m), jnp.float32),
+        jax.ShapeDtypeStruct((b, m, 8), jnp.float32),
     ]
     if cf:
         in_specs.append(
@@ -335,7 +373,7 @@ def _bwd_rule(radius, nsample, res, cts):
         interpret=_interpret(),
     )(*args)
     dxyz = jnp.swapaxes(outs[0][:, :3, :], 1, 2).astype(xyz.dtype)
-    dnew = jnp.swapaxes(outs[1][:, :3, :], 1, 2).astype(new_xyz.dtype)
+    dnew = outs[1][:, :, :3].astype(new_xyz.dtype)
     dfeat = outs[2].astype(features.dtype) if cf else None
     return dxyz, dnew, dfeat
 
