@@ -61,6 +61,20 @@ class _SplitDense(nn.Module):
         return a @ kernel[:wa] + b @ kernel[wa:]
 
 
+class _RawGroupSpec(NamedTuple):
+    """Ungrouped SA input for the fully-fused SA kernel
+    (ops/pallas/sa_fused_kernel.py): ball-query + layer-1-projected
+    grouping + MLP + pool all happen inside one Pallas call, so the SA
+    module hands SharedMLP the raw tensors plus the query geometry and
+    no grouped tensor ever exists outside VMEM."""
+
+    xyz: jax.Array  # [b, n, 3]
+    new_xyz: jax.Array  # [b, m, 3]
+    features: Optional[jax.Array]  # [b, n, cf] | None
+    radius: float
+    nsample: int
+
+
 class _PlanesGroup(NamedTuple):
     """Pre-grouped SA input from the fused ball-query+group kernel
     (ops/pallas/ballquery_group_kernel.py): center-subtracted xyz planes
@@ -151,6 +165,39 @@ class SharedMLP(nn.Module):
             gx.shape[2], gx.shape[1], tuple(self.features), cf
         )
 
+    def _folded_params(self, cf: int, dtype):
+        """(w_i * bn_scale, bn_shift) per layer at nn.Dense/BatchNorm's
+        param-tree paths (checkpoints/converters unchanged)."""
+        ws_and_bs = []
+        cin = 3 + cf
+        for i, f in enumerate(self.features):
+            k = _DenseParam((cin, f), name=f"conv{i}")()
+            scale, bias, mean, var = _BNParam(f, name=f"bn{i}")()
+            s = scale / jnp.sqrt(var + BN_EPS)
+            ws_and_bs.append((k * s[None, :]).astype(dtype))
+            ws_and_bs.append(((bias - mean * s)[None, :]).astype(dtype))
+            cin = f
+        return ws_and_bs
+
+    def _fused_sa(self, x: "_RawGroupSpec") -> jax.Array:
+        """Whole-scale fusion: ball-query + group + MLP + pool in one
+        Pallas kernel (ops/pallas/sa_fused_kernel.py)."""
+        from geoa3_tpu.ops.pallas.pool_matmul_kernel import (
+            platform_f32_exact,
+        )
+        from geoa3_tpu.ops.pallas.sa_fused_kernel import sa_query_group_mlp
+
+        cf = x.features.shape[-1] if x.features is not None else 0
+        dtype = x.xyz.dtype
+        ws_and_bs = self._folded_params(cf, dtype)
+        ws_and_bs = jax.tree.map(jax.lax.stop_gradient, tuple(ws_and_bs))
+        out = sa_query_group_mlp(
+            x.radius, x.nsample,
+            dtype == jnp.float32 and platform_f32_exact(),
+            x.xyz, x.new_xyz, x.features, ws_and_bs,
+        )
+        return out.astype(dtype)
+
     def _fused(self, x) -> jax.Array:
         from geoa3_tpu.ops.pallas.group_mlp_kernel import group_mlp_maxpool
 
@@ -167,15 +214,7 @@ class SharedMLP(nn.Module):
                 gx, gf, cf = x, None, 0
             b, m, ns, _ = gx.shape
             dtype = gx.dtype
-        ws_and_bs = []
-        cin = 3 + cf
-        for i, f in enumerate(self.features):
-            k = _DenseParam((cin, f), name=f"conv{i}")()
-            scale, bias, mean, var = _BNParam(f, name=f"bn{i}")()
-            s = scale / jnp.sqrt(var + BN_EPS)
-            ws_and_bs.append((k * s[None, :]).astype(dtype))
-            ws_and_bs.append(((bias - mean * s)[None, :]).astype(dtype))
-            cin = f
+        ws_and_bs = self._folded_params(cf, dtype)
         if not isinstance(x, _PlanesGroup):
             # planes layout [b, 8, m*ns] (a [..., 3]-minor tensor pads 3
             # lanes to 128 on TPU)
@@ -240,6 +279,10 @@ class SharedMLP(nn.Module):
     def __call__(
         self, x, train: bool = False, maxpool_hint: bool = False
     ) -> jax.Array:
+        if isinstance(x, _RawGroupSpec):
+            # whole-scale fusion (the SA module gates on sa_fused_available
+            # before handing over the raw tensors)
+            return self._fused_sa(x)
         if isinstance(x, _PlanesGroup):
             # pre-grouped planes from the fused ball-query+group kernel:
             # only the fused SA path can consume them (the SA module gates
@@ -277,6 +320,23 @@ class SharedMLP(nn.Module):
         if maxpool_hint:
             x = jnp.max(x, axis=2)  # max over nsample -> [b, m, c_out]
         return x
+
+
+def _sa_fused_ok(
+    xyz, new_xyz, ns: int, widths, features, use_xyz: bool
+) -> bool:
+    """Gate for the fully-fused SA kernel (query+group+MLP+pool in one
+    Pallas call), eval-mode f32 only."""
+    from geoa3_tpu.ops.pallas.sa_fused_kernel import (
+        pallas_available,
+        sa_fused_available,
+    )
+
+    if not (use_xyz and pallas_available() and xyz.dtype == jnp.float32):
+        return False
+    n, m = xyz.shape[1], new_xyz.shape[1]
+    cf = features.shape[-1] if features is not None else 0
+    return sa_fused_available(n, m, ns, widths, cf)
 
 
 def _fused_query_group_ok(
@@ -367,19 +427,38 @@ class PointnetSAModuleMSG(nn.Module):
         outs = []
         for i in range(len(self.radii)):
             if self.npoint is not None:
-                if not train and _fused_query_group_ok(
+                # kernel preference (measured, SSG b=16 trace): the split
+                # ballquery_group -> group_mlp pipeline first — its planes
+                # gathers stream only 8 MXU rows and beat the whole-scale
+                # kernel's c1-wide gathers (7.76 vs 10.37 ms/step); the
+                # whole-scale kernel is the fallback for shapes the split
+                # pair cannot take (MSG SA2's cf=320 feature width), where
+                # it replaces the UNFUSED path instead
+                split_ok = not train and _fused_query_group_ok(
                     xyz, new_xyz, self.nsamples[i],
                     tuple(self.mlps[i]), features, self.use_xyz,
-                ):
+                )
+                if split_ok:
                     from geoa3_tpu.ops.pallas.ballquery_group_kernel import (
                         ball_query_group_planes,
                     )
+                    from geoa3_tpu.ops.pallas.pool_matmul_kernel import (
+                        platform_f32_exact,
+                    )
 
                     gxp, gf = ball_query_group_planes(
-                        self.radii[i], self.nsamples[i], xyz, new_xyz,
-                        features,
+                        self.radii[i], self.nsamples[i],
+                        platform_f32_exact(), xyz, new_xyz, features,
                     )
                     grouped = _PlanesGroup(gxp, gf, self.nsamples[i])
+                elif not train and _sa_fused_ok(
+                    xyz, new_xyz, self.nsamples[i],
+                    tuple(self.mlps[i]), features, self.use_xyz,
+                ):
+                    grouped = _RawGroupSpec(
+                        xyz, new_xyz, features,
+                        self.radii[i], self.nsamples[i],
+                    )
                 else:
                     grouped = _query_and_group(
                         self.radii[i],

@@ -41,6 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from geoa3_tpu.ops.pallas.group_mlp_kernel import (
     _PDEF,
@@ -73,12 +74,36 @@ def _split_dot(a, b_bf16, dn, k: int):
     return acc
 
 
-def _hit_rank(xp8, cr, r2):
+def _build_tri(tri_ref):
+    """Fill a [n, n] bf16 scratch with the lower-triangular ones matrix,
+    once per kernel launch (pl.when on the first grid step). Building it
+    inline per grid step was ~40% of the ball-query kernel's time on SSG
+    SA1 (two [n, n] iotas + compare + cast on every one of b * m/gbm
+    steps, for a grid-invariant constant)."""
+    n = tri_ref.shape[0]
+    ja = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri_ref[...] = (ja <= jb).astype(jnp.bfloat16)
+
+
+def _tri_scratch(tri_ref):
+    """Build-once accessor for the shared tri scratch (call at the top of
+    a kernel body; grid iteration is sequential on TPU)."""
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        _build_tri(tri_ref)
+
+    return tri_ref[...]
+
+
+def _hit_rank(xp8, cr, r2, tri):
     """hit [gbm, n] bool, rank [gbm, n] f32 (inclusive index-cumsum),
     cnt [gbm, 1] f32. cr: center ROWS [gbm, 8] (Mosaic needs the block's
-    trailing dim full, so centers travel row-major). Counts <= n stay
+    trailing dim full, so centers travel row-major). tri: [n, n] bf16
+    lower-triangular ones (from _tri_scratch). Counts <= n stay
     integer-exact in f32."""
-    n = xp8.shape[1]
     x2 = jnp.sum(xp8 * xp8, axis=0)[None, :]  # [1, n]
     c2 = jnp.sum(cr * cr, axis=1)[:, None]  # [gbm, 1]
     cx = jax.lax.dot_general(
@@ -87,11 +112,8 @@ def _hit_rank(xp8, cr, r2):
     )  # [gbm, n]
     d = c2 + x2 - 2.0 * cx
     hit = d < r2
-    # rank via lower-triangular ones matmul (iota-built in VMEM): the MXU
-    # does the cumsum; bf16 0/1 operands, f32 accumulate is exact
-    ja = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    jb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    tri = (ja <= jb).astype(jnp.bfloat16)
+    # rank via the lower-triangular ones matmul: the MXU does the cumsum;
+    # bf16 0/1 operands, f32 accumulate is exact
     rank = jax.lax.dot_general(
         hit.astype(jnp.bfloat16), tri,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -114,43 +136,50 @@ def _expander(cb: int, ns: int):
 
 def _onehot_chunk(hit, rank, cnt, ns: int, c0: int, cb: int):
     """S [cb*ns, n] bf16 for centers [c0, c0+cb): S[c*ns+s, j] = 1 iff
-    point j fills slot s of center c (first-hit order + padding)."""
+    point j fills slot s of center c (first-hit order + padding).
+
+    Cost note: this build is the dominant VPU term of the whole grouping
+    pipeline (the [cb, ns, n] tensor is ~30x bigger than anything else the
+    kernels touch elementwise), so everything 3D is folded into ONE
+    broadcast compare: a masked-rank row (hits keep their 1..n rank,
+    non-hits 0, empty balls a BIG sentinel at column 0) against a per-slot
+    target (slot rank, first-hit padding past the count — the CUDA kernel
+    pre-fills every slot with hit 0, ball_query_gpu.cu:33-41 — or the
+    sentinel for empty balls, matching ops.ball_query's index-0 contract).
+    The earlier 7-pass form (eq & hit, then a float empty-ball blend) cost
+    ~0.9 ms/step on SSG SA1 alone."""
     n = hit.shape[1]
     rk = rank[c0 : c0 + cb]  # [cb, n]
     ht = hit[c0 : c0 + cb]
     ct = cnt[c0 : c0 + cb]  # [cb, 1]
+    big = 65536.0  # > any rank (n <= 4096), exact in f32/bf16
+    j0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == 0
+    ).astype(jnp.float32)  # [1, n] (int iota: Mosaic rejects float tpu.iota)
+    empty = (ct == 0.0).astype(jnp.float32)  # [cb, 1]
+    mrk = jnp.where(ht, rk, 0.0) + j0 * (empty * big)  # [cb, n]
     s1 = (
         jax.lax.broadcasted_iota(jnp.int32, (1, ns, 1), 1) + 1
-    ).astype(jnp.float32)  # slot rank targets 1..ns (int iota: Mosaic
-    # rejects float tpu.iota)
-    # slots past the hit count repeat the FIRST hit (rank 1) — the CUDA
-    # kernel pre-fills every slot with hit 0 (ball_query_gpu.cu:33-41)
+    ).astype(jnp.float32)  # slot rank targets 1..ns
     tgt = jnp.where(s1 <= ct[:, None, :], s1, 1.0)  # [cb, ns, 1]
-    oh = ((rk[:, None, :] == tgt) & ht[:, None, :]).astype(jnp.float32)
-    # empty ball: every slot -> point 0 (ops.ball_query contract); float
-    # blend instead of a bool select (Mosaic cannot truncate i8 selects
-    # back to i1 on 3D vectors)
-    j0 = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == 0
-    ).astype(jnp.float32)
-    empty = (ct[:, None, :] == 0.0).astype(jnp.float32)
-    oh = oh * (1.0 - empty) + j0 * empty
-    return oh.reshape(cb * ns, n).astype(jnp.bfloat16)
+    tgt = tgt + empty[:, None, :] * (big - tgt)  # empty -> sentinel
+    oh = (mrk[:, None, :] == tgt).astype(jnp.bfloat16)  # [cb, ns, n]
+    return oh.reshape(cb * ns, n)
 
 
-def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
+def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float, ksp: int):
     if cf:
-        xp_ref, cp_ref, f_ref, gxp_ref, gf_ref = refs
+        xp_ref, cp_ref, f_ref, gxp_ref, gf_ref, tri_ref = refs
     else:
-        xp_ref, cp_ref, gxp_ref = refs
+        xp_ref, cp_ref, gxp_ref, tri_ref = refs
         f_ref = gf_ref = None
     xp8 = xp_ref[0]  # [8, n]
     cr = cp_ref[0]  # [gbm, 8] center rows
     gbm = cr.shape[0]
-    hit, rank, cnt = _hit_rank(xp8, cr, r2)
+    hit, rank, cnt = _hit_rank(xp8, cr, r2, _tri_scratch(tri_ref))
     cp8 = jnp.swapaxes(cr, 0, 1)  # [8, gbm]
-    xsplits = _splits(xp8, 3)
-    fsplits = _splits(f_ref[0], 3) if cf else None
+    xsplits = _splits(xp8, ksp)
+    fsplits = _splits(f_ref[0], ksp) if cf else None
     dn_g = (((1,), (1,)), ((), ()))  # [8, n] x [R, n] -> [8, R]
     dn_f = (((1,), (0,)), ((), ()))  # [R, n] x [n, cf] -> [R, cf]
     for c0 in range(0, gbm, cb):
@@ -166,7 +195,7 @@ def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
         # matmul (3-split: exact f32 copies, one nonzero per column)
         crep = _split_dot(
             cp8[:, c0 : c0 + cb], _expander(cb, ns),
-            (((1,), (0,)), ((), ())), 3,
+            (((1,), (0,)), ((), ())), ksp,
         )  # [8, cb*ns]
         gxp_ref[0, :, c0 * ns : (c0 + cb) * ns] = g8 - crep
         if cf:
@@ -183,15 +212,15 @@ def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
 def _bwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
     if cf:
         (xp_ref, cp_ref, f_ref, dgxp_ref, dgf_ref,
-         dxp_ref, dcp_ref, df_ref) = refs
+         dxp_ref, dcp_ref, df_ref, tri_ref) = refs
     else:
-        xp_ref, cp_ref, dgxp_ref, dxp_ref, dcp_ref = refs
+        xp_ref, cp_ref, dgxp_ref, dxp_ref, dcp_ref, tri_ref = refs
         dgf_ref = df_ref = None
     xp8 = xp_ref[0]
     cr = cp_ref[0]  # [gbm, 8]
     gbm = cr.shape[0]
     n = xp8.shape[1]
-    hit, rank, cnt = _hit_rank(xp8, cr, r2)
+    hit, rank, cnt = _hit_rank(xp8, cr, r2, _tri_scratch(tri_ref))
     j = pl.program_id(1)
     dn_x = (((1,), (0,)), ((), ()))  # [8, R] x [R, n] -> [8, n]
     dn_ft = (((0,), (0,)), ((), ()))  # [R, n] x [R, cf] -> [n, cf]
@@ -270,17 +299,28 @@ def _rows8(x):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def ball_query_group_planes(radius, nsample, xyz, new_xyz, features):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def ball_query_group_planes(radius, nsample, f32_exact, xyz, new_xyz,
+                            features):
     """Fused ball-query + group: xyz [b, n, 3], new_xyz [b, m, 3],
     features [b, n, cf] | None ->
     (gxp planes [b, 8, m*nsample] f32 center-subtracted, gf [b, m, nsample,
     cf] f32 | None). Differentiable w.r.t. xyz / new_xyz / features;
-    neighbour selection is stop-gradient (reference semantics)."""
-    return _fwd(radius, nsample, xyz, new_xyz, features)
+    neighbour selection is stop-gradient (reference semantics).
+
+    f32_exact=True (CPU/interpret tests): 3-split gathers — bitwise-exact
+    f32 row copies. False (TPU victims, pool_matmul_kernel.
+    platform_f32_exact): 2-split gathers — ~2^-16-relative copies, which
+    is noise-free where it matters: the split decomposition of a given
+    f32 value is deterministic, and FPS centers ARE rows of xyz, so the
+    gathered self/padding rows and the replicated center subtract to
+    EXACTLY zero pass-by-pass; non-self rows carry error ~50x below the
+    single-pass-bf16 layer-1 dot the victim applies downstream. Saves a
+    third of the gather MXU time (the kernel's dominant cost)."""
+    return _fwd(radius, nsample, f32_exact, xyz, new_xyz, features)
 
 
-def _fwd(radius, nsample, xyz, new_xyz, features):
+def _fwd(radius, nsample, f32_exact, xyz, new_xyz, features):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     ns = nsample
@@ -290,7 +330,8 @@ def _fwd(radius, nsample, xyz, new_xyz, features):
     xp = _planes(jax.lax.stop_gradient(xyz))
     cp = _rows8(jax.lax.stop_gradient(new_xyz))
     kernel = functools.partial(
-        _fwd_kernel, ns=ns, cb=cb, cf=cf, r2=float(radius) * float(radius)
+        _fwd_kernel, ns=ns, cb=cb, cf=cf,
+        r2=float(radius) * float(radius), ksp=3 if f32_exact else 2,
     )
     in_specs = [
         pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
@@ -312,6 +353,7 @@ def _fwd(radius, nsample, xyz, new_xyz, features):
         in_specs=in_specs,
         out_specs=out_specs if cf else out_specs[0],
         out_shape=out_shapes if cf else out_shapes[0],
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16)],
         interpret=_interpret(),
     )(*args)
     if cf:
@@ -319,12 +361,12 @@ def _fwd(radius, nsample, xyz, new_xyz, features):
     return outs, None
 
 
-def _fwd_rule(radius, nsample, xyz, new_xyz, features):
-    out = _fwd(radius, nsample, xyz, new_xyz, features)
+def _fwd_rule(radius, nsample, f32_exact, xyz, new_xyz, features):
+    out = _fwd(radius, nsample, f32_exact, xyz, new_xyz, features)
     return out, (xyz, new_xyz, features)
 
 
-def _bwd_rule(radius, nsample, res, cts):
+def _bwd_rule(radius, nsample, f32_exact, res, cts):
     xyz, new_xyz, features = res
     dgxp, dgf = cts
     b, n, _ = xyz.shape
@@ -370,6 +412,7 @@ def _bwd_rule(radius, nsample, res, cts):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16)],
         interpret=_interpret(),
     )(*args)
     dxyz = jnp.swapaxes(outs[0][:, :3, :], 1, 2).astype(xyz.dtype)

@@ -542,7 +542,7 @@ class TestBallQueryGroupKernel:
             jnp.asarray(rng.randn(2, n, cf).astype(np.float32))
             if cf else None
         )
-        gxp, gf = ball_query_group_planes(radius, ns, xyz, new_xyz, feats)
+        gxp, gf = ball_query_group_planes(radius, ns, True, xyz, new_xyz, feats)
         want_gx, want_gf = self._oracle(radius, ns, xyz, new_xyz, feats)
         got_gx = self._planes_to_4d(gxp, m, ns)
         np.testing.assert_array_equal(np.asarray(got_gx), np.asarray(want_gx))
@@ -567,7 +567,7 @@ class TestBallQueryGroupKernel:
                 axis=1,
             )
         )
-        gxp, _ = ball_query_group_planes(0.3, ns, xyz, new_xyz, None)
+        gxp, _ = ball_query_group_planes(0.3, ns, True, xyz, new_xyz, None)
         want_gx, _ = self._oracle(0.3, ns, xyz, new_xyz, None)
         got_gx = self._planes_to_4d(gxp, m, ns)
         np.testing.assert_array_equal(np.asarray(got_gx), np.asarray(want_gx))
@@ -585,7 +585,7 @@ class TestBallQueryGroupKernel:
         wf = jnp.asarray(rng.randn(2, m, ns, cf).astype(np.float32))
 
         def loss_kernel(xyz, new_xyz, feats):
-            gxp, gf = ball_query_group_planes(0.5, ns, xyz, new_xyz, feats)
+            gxp, gf = ball_query_group_planes(0.5, ns, True, xyz, new_xyz, feats)
             return jnp.sum(gxp * wx) + jnp.sum(gf * wf)
 
         def loss_oracle(xyz, new_xyz, feats):
@@ -635,6 +635,180 @@ class TestFusedQueryGroupPipeline:
         gref = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
         monkeypatch.setattr(gmk, "pallas_available", lambda: True)
         monkeypatch.setattr(bqk, "pallas_available", lambda: True)
+        fused = f(pc)
+        gfused = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
+        assert not np.allclose(0, np.asarray(gref))
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gfused), np.asarray(gref), rtol=5e-3, atol=5e-3
+        )
+
+
+class TestSAFusedKernel:
+    """Fully-fused SA kernel (ball-query + projected grouping + MLP + pool)
+    vs the unfused oracle (interpret mode)."""
+
+    def _make_params(self, rng, cf, widths):
+        ws = []
+        cin = 3 + cf
+        for w_ in widths:
+            ws.append(jnp.asarray(rng.randn(cin, w_).astype(np.float32) * 0.3))
+            ws.append(jnp.asarray(rng.randn(1, w_).astype(np.float32) * 0.1))
+            cin = w_
+        return tuple(ws)
+
+    def _oracle(self, radius, ns, xyz, new_xyz, feats, ws):
+        from geoa3_tpu import ops
+
+        idx = ops.ball_query(radius, ns, xyz, new_xyz)
+        gx = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        h = gx
+        if feats is not None:
+            h = jnp.concatenate([gx, ops.group_points(feats, idx)], axis=-1)
+        for i in range(0, len(ws), 2):
+            h = jnp.maximum(h @ ws[i] + ws[i + 1][0], 0.0)
+        return jnp.max(h, axis=2)
+
+    @pytest.mark.parametrize(
+        "n,m,ns,cf,widths,radius",
+        [
+            (256, 64, 32, 0, (16, 16, 32), 0.4),    # SSG SA1-like
+            (256, 32, 16, 128, (32, 32, 64), 0.5),  # SSG SA2-like
+            (256, 32, 16, 320, (32, 32, 64), 0.5),  # MSG SA2-like (cf!%128)
+        ],
+    )
+    def test_matches_oracle(self, rng, n, m, ns, cf, widths, radius):
+        from geoa3_tpu.ops.pallas.sa_fused_kernel import sa_query_group_mlp
+
+        xyz = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 0.5)
+        new_xyz = xyz[:, :m]  # centers are members of xyz (FPS contract)
+        feats = (
+            jnp.asarray(rng.randn(2, n, cf).astype(np.float32))
+            if cf else None
+        )
+        ws = self._make_params(rng, cf, widths)
+        out = sa_query_group_mlp(radius, ns, True, xyz, new_xyz, feats, ws)
+        want = self._oracle(radius, ns, xyz, new_xyz, feats, ws)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_empty_and_overfull_balls(self, rng):
+        from geoa3_tpu.ops.pallas.sa_fused_kernel import sa_query_group_mlp
+
+        n, m, ns = 256, 32, 16
+        xyz = np.zeros((1, n, 3), np.float32)
+        xyz[0, :, 0] = np.linspace(0.0, 10.0, n)  # sparse far end
+        xyz[0, :64] = rng.randn(64, 3) * 0.01  # dense cluster: overfull
+        xyz = jnp.asarray(xyz)
+        new_xyz = jnp.asarray(
+            np.concatenate(
+                [np.asarray(xyz[:, :16]),
+                 np.full((1, 16, 3), 100.0, np.float32)],  # empty balls
+                axis=1,
+            )
+        )
+        ws = self._make_params(rng, 0, (16, 16, 32))
+        out = sa_query_group_mlp(0.3, ns, True, xyz, new_xyz, None, ws)
+        want = self._oracle(0.3, ns, xyz, new_xyz, None, ws)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_grad_matches_oracle(self, rng):
+        from geoa3_tpu.ops.pallas.sa_fused_kernel import sa_query_group_mlp
+
+        n, m, ns, cf = 256, 32, 16, 128
+        widths = (32, 32, 64)
+        xyz = jnp.asarray(rng.randn(2, n, 3).astype(np.float32) * 0.5)
+        new_xyz = xyz[:, :m]
+        feats = jnp.asarray(rng.randn(2, n, cf).astype(np.float32))
+        ws = self._make_params(rng, cf, widths)
+        tgt = jnp.asarray(rng.randn(2, m, widths[-1]).astype(np.float32))
+
+        def loss_kernel(xyz, new_xyz, feats):
+            out = sa_query_group_mlp(0.5, ns, True, xyz, new_xyz, feats, ws)
+            return jnp.sum((out - tgt) ** 2)
+
+        def loss_oracle(xyz, new_xyz, feats):
+            out = self._oracle(0.5, ns, xyz, new_xyz, feats, ws)
+            return jnp.sum((out - tgt) ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(xyz, new_xyz, feats)
+        go = jax.grad(loss_oracle, argnums=(0, 1, 2))(xyz, new_xyz, feats)
+        for a, b, tag in zip(gk, go, ("xyz", "new_xyz", "feats")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=tag,
+            )
+
+    def test_grad_with_duplicate_rows(self, rng):
+        """Ball-query padding duplicates the first hit across slots; the
+        pool's tie-split gradients must still match jnp.max semantics
+        (duplicate-row shares scatter back to one source point)."""
+        from geoa3_tpu.ops.pallas.sa_fused_kernel import sa_query_group_mlp
+
+        n, m, ns = 256, 16, 16
+        # tight radius around isolated points -> most balls hold only the
+        # center: every slot past the first is a padded duplicate
+        xyz = jnp.asarray(rng.randn(1, n, 3).astype(np.float32) * 5.0)
+        new_xyz = xyz[:, :m]
+        ws = self._make_params(rng, 0, (16, 16, 32))
+
+        def loss_kernel(xyz, new_xyz):
+            return jnp.sum(
+                sa_query_group_mlp(0.1, ns, True, xyz, new_xyz, None, ws)
+                ** 2
+            )
+
+        def loss_oracle(xyz, new_xyz):
+            return jnp.sum(
+                self._oracle(0.1, ns, xyz, new_xyz, None, ws) ** 2
+            )
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1))(xyz, new_xyz)
+        go = jax.grad(loss_oracle, argnums=(0, 1))(xyz, new_xyz)
+        for a, b, tag in zip(gk, go, ("xyz", "new_xyz")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+                err_msg=tag,
+            )
+
+
+class TestSAFusedPipeline:
+    """Whole-model forced fusion through the fully-fused SA kernel:
+    logits AND input grads must match the unfused eval path."""
+
+    @pytest.mark.slow  # interpret-mode whole-model grads: 67 s (ssg) /
+    # 103 s (msg); the TestSAFusedKernel oracle tests stay in the fast path
+    @pytest.mark.parametrize("arch", ["ssg", "msg"])
+    def test_logits_and_grads_match(self, rng, monkeypatch, arch):
+        import geoa3_tpu.ops.pallas.sa_fused_kernel as sak
+        from geoa3_tpu.models.pointnetpp import (
+            PointNet2ClassificationMSG,
+            PointNet2ClassificationSSG,
+        )
+
+        cls = (
+            PointNet2ClassificationSSG
+            if arch == "ssg"
+            else PointNet2ClassificationMSG
+        )
+        model = cls(classes=40)
+        # n=1024 so every SA shape matches the production attack shapes
+        pc = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32) * 0.5)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, pc, train=False
+        )
+
+        def f(p):
+            return model.apply(variables, p, train=False)
+
+        ref = f(pc)
+        gref = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
+        monkeypatch.setattr(sak, "pallas_available", lambda: True)
         fused = f(pc)
         gfused = jax.grad(lambda p: jnp.sum(f(p) ** 2))(pc)
         assert not np.allclose(0, np.asarray(gref))
