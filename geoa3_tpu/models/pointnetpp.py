@@ -357,6 +357,10 @@ def _fused_query_group_ok(
         return False
     n, m = xyz.shape[1], new_xyz.shape[1]
     cf = features.shape[-1] if features is not None else 0
+    # lane-unaligned feature widths (MSG SA2: cf=320) were tried here
+    # zero-padded to 384 — measured SLOWER (11.15 vs 10.13 ms/step MSG
+    # b=10) than the whole-scale sa_fused fallback, which never
+    # materialises grouped features in HBM; unaligned widths route there
     return group_mlp_available(ns, m, widths, cf) and (
         ball_query_group_available(n, m, ns, cf)
     )

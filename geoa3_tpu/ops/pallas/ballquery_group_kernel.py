@@ -179,7 +179,12 @@ def _fwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float, ksp: int):
     hit, rank, cnt = _hit_rank(xp8, cr, r2, _tri_scratch(tri_ref))
     cp8 = jnp.swapaxes(cr, 0, 1)  # [8, gbm]
     xsplits = _splits(xp8, ksp)
-    fsplits = _splits(f_ref[0], ksp) if cf else None
+    # features: 1-split when not exact — the gathered rows feed a
+    # single-pass-bf16 dot downstream, which rounds its operands to
+    # bf16 anyway; gathering bf16(f) is bit-identical to the unfused
+    # exact-gather-then-bf16-dot products (no cancellation: features
+    # are not center-subtracted)
+    fsplits = _splits(f_ref[0], 3 if ksp == 3 else 1) if cf else None
     dn_g = (((1,), (1,)), ((), ()))  # [8, n] x [R, n] -> [8, R]
     dn_f = (((1,), (0,)), ((), ()))  # [R, n] x [n, cf] -> [R, cf]
     for c0 in range(0, gbm, cb):
@@ -266,7 +271,7 @@ def _pick_gbm(m: int, ns: int) -> int:
     """Centers per tile: bound the onehot chunk + rank tiles to ~4 MB
     while keeping the grid coarse (pipeline overhead dominates small
     tiles — the round-2 group_mlp lesson)."""
-    gbm = max(1, min(m, 4096 // ns))
+    gbm = max(1, min(m, 8192 // ns))
     while m % gbm:
         gbm -= 1
     return gbm
@@ -355,6 +360,7 @@ def _fwd(radius, nsample, f32_exact, xyz, new_xyz, features):
         out_shape=out_shapes if cf else out_shapes[0],
         scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     if cf:
         return outs[0], outs[1]
@@ -414,6 +420,7 @@ def _bwd_rule(radius, nsample, f32_exact, res, cts):
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*args)
     dxyz = jnp.swapaxes(outs[0][:, :3, :], 1, 2).astype(xyz.dtype)
     dnew = outs[1][:, :, :3].astype(new_xyz.dtype)

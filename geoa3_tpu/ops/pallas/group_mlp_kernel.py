@@ -35,6 +35,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Pin the kernels' engineered bf16 dot passes against ambient
 # jax.default_matmul_precision (HIGHEST on bf16 operands is rejected by
@@ -248,7 +249,7 @@ def _pick_gpt(
     double-buffered input/output blocks in 16 MB of VMEM; SA1 lands on
     gpt=64 (R=4096, 128 tiles/step at b=16), SA2 on gpt=32 (R=2048)."""
     per_row = 4 * (8 + cf + 2 * sum(widths))
-    r_target = min((8 << 20) // per_row, 8192)
+    r_target = min((16 << 20) // per_row, 8192)
     gpt = max(1, min(m, r_target // ns))
     while m % gpt:
         gpt -= 1
@@ -314,6 +315,7 @@ def _fwd(gx, gf, ns, f32_exact, ws_and_bs):
         out_specs=pl.BlockSpec((1, gpt, c3), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, m, c3), jnp.float32),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*[a.astype(jnp.float32) if a is not None else a for a in args])
     return out.astype(out_dtype)
 
@@ -358,6 +360,7 @@ def _bwd_rule(ns, f32_exact, res, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(*[a.astype(jnp.float32) for a in args])
     dgx = outs[0].astype(gx.dtype)
     dgf = outs[1].astype(gf.dtype) if gf is not None else None
