@@ -179,6 +179,10 @@ def run_single(batch=None, steps=None, npoint=None) -> dict:
         # attacks/s denominator is a V100-class estimate (see module
         # docstring), so vs_baseline is NOT a measured comparison
         "baseline_is_estimate": True,
+        # tracked because remote cold-compiles are a known platform cost
+        # (20-500 s; a miss outweighs attacking a whole batch) — a jump
+        # here flags a compilation-cache miss or a toolchain change
+        "compile_s": round(compile_s, 1),
     }
 
 
