@@ -271,7 +271,7 @@ def _pick_gbm(m: int, ns: int) -> int:
     """Centers per tile: bound the onehot chunk + rank tiles to ~4 MB
     while keeping the grid coarse (pipeline overhead dominates small
     tiles — the round-2 group_mlp lesson)."""
-    gbm = max(1, min(m, 8192 // ns))
+    gbm = max(1, min(m, 16384 // ns))
     while m % gbm:
         gbm -= 1
     return gbm

@@ -249,7 +249,7 @@ def _pick_gpt(
     double-buffered input/output blocks in 16 MB of VMEM; SA1 lands on
     gpt=64 (R=4096, 128 tiles/step at b=16), SA2 on gpt=32 (R=2048)."""
     per_row = 4 * (8 + cf + 2 * sum(widths))
-    r_target = min((16 << 20) // per_row, 8192)
+    r_target = min((24 << 20) // per_row, 8192)
     gpt = max(1, min(m, r_target // ns))
     while m % gpt:
         gpt -= 1

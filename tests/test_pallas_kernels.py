@@ -615,6 +615,9 @@ class TestFusedQueryGroupPipeline:
     on in interpret mode: PN++ SSG logits AND input grads must match the
     unfused eval path."""
 
+    @pytest.mark.slow  # interpret-mode whole-model fwd+grad at the
+    # production n=1024 shapes: ~2 min; the kernel-level oracle tests keep
+    # the fast-path coverage
     def test_ssg_logits_and_grads_match(self, rng, monkeypatch):
         import geoa3_tpu.ops.pallas.ballquery_group_kernel as bqk
         import geoa3_tpu.ops.pallas.group_mlp_kernel as gmk
