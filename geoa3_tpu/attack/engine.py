@@ -129,11 +129,32 @@ def forward_losses(
     )
     if need_a2o:
         # both 1-NN directions from ONE fused distance pass (the [n, m]
-        # matrix never hits HBM on TPU); o2a is only consumed by two-sided CD
-        a2o_idx, o2a_idx = ops.nn1_dual(input_curr, pc_ori)
-        # differentiable squared 1-NN distances, shared by CD / HD
-        a2o_nn = jnp.take_along_axis(pc_ori, a2o_idx[..., None].astype(jnp.int32), axis=1)
-        d_a2o = jnp.sum((input_curr - a2o_nn) ** 2, axis=-1)  # [b, n_adv]
+        # matrix never hits HBM on TPU); o2a is only consumed by two-sided
+        # CD. The a2o-side CONSTANT row lookups (nearest ori point, its
+        # borrowed normal, its kappa) ride the same kernel as exact
+        # payload-plane copies — they were ~0.7 ms/step of XLA dynamic-row
+        # gathers at b=32 (loop-invariant payload: XLA hoists the pack).
+        with_curv = cfg.curv_loss_weight != 0
+        pay_rows = [jnp.swapaxes(jax.lax.stop_gradient(pc_ori), 1, 2)]
+        if with_curv:
+            pay_rows.append(
+                jnp.swapaxes(jax.lax.stop_gradient(normal_ori), 1, 2)
+            )
+            pay_rows.append(jax.lax.stop_gradient(kappa_ori)[:, None, :])
+        pay = jnp.concatenate(pay_rows, axis=1)
+        pad = 8 - pay.shape[1]
+        pay = jnp.concatenate(
+            [pay, jnp.zeros((b, pad, pay.shape[2]), pay.dtype)], axis=1
+        )
+        a2o_idx, o2a_idx, gp = ops.nn1_dual_payload(input_curr, pc_ori, pay)
+        # differentiable squared 1-NN distances, shared by CD / HD —
+        # computed per coordinate plane (gp rows are constants, so the
+        # backward is pure elementwise: no gather, no scatter)
+        d_a2o = (
+            (input_curr[..., 0] - gp[:, 0]) ** 2
+            + (input_curr[..., 1] - gp[:, 1]) ** 2
+            + (input_curr[..., 2] - gp[:, 2]) ** 2
+        )  # [b, n_adv]
 
     if cfg.dis_loss_type == "CD":
         if cfg.is_cd_single_side:
@@ -161,10 +182,11 @@ def forward_losses(
 
     if cfg.curv_loss_weight != 0:
         k = cfg.curv_loss_knn
-        # kappa_adv: normal borrowed from the nearest ORI point (shared a2o);
-        # neighbour coords come from the Pallas kernel (no XLA gather), or —
-        # with curv_knn_refresh_every > 1 — from a gather at cached indices
-        normal = jnp.take_along_axis(normal_ori, a2o_idx[..., None], axis=1)
+        # kappa_adv: normal borrowed from the nearest ORI point — payload
+        # rows 3..5 from the fused 1-NN kernel (no XLA gather); neighbour
+        # coords come from the Pallas kNN kernel, or — with
+        # curv_knn_refresh_every > 1 — from a gather at cached indices
+        normal = jnp.stack([gp[:, 3], gp[:, 4], gp[:, 5]], axis=-1)
         if self_idx is not None:
             nn_pts = ops.knn_gather(input_curr, self_idx[..., 1:])
         else:
@@ -177,7 +199,7 @@ def forward_losses(
         adv_kappa = jnp.abs(
             jnp.sum(vectors * normal[:, :, None, :], axis=-1)
         ).mean(axis=-1)
-        onenn_ori_kappa = jnp.take_along_axis(kappa_ori, a2o_idx, axis=1)
+        onenn_ori_kappa = gp[:, 6]  # payload row 6 (exact copy)
         curv_loss = jnp.mean((adv_kappa - onenn_ori_kappa) ** 2, axis=-1)
         constrain = constrain + cfg.curv_loss_weight * curv_loss
     else:

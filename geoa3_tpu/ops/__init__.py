@@ -17,6 +17,7 @@ from geoa3_tpu.ops.knn import (
     knn_points_planes,
     knn_gather,
     nn1_dual,
+    nn1_dual_payload,
 )
 from geoa3_tpu.ops.sampling import (
     furthest_point_sampling,
@@ -37,6 +38,7 @@ __all__ = [
     "knn_points_planes",
     "knn_gather",
     "nn1_dual",
+    "nn1_dual_payload",
     "furthest_point_sampling",
     "farthest_points_sample",
     "farthest_points_sample_with_normal",

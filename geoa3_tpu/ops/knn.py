@@ -136,6 +136,36 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
     )
 
 
+def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
+    """nn1_dual plus an exact gather of constant per-ori payload planes at
+    the adv->ori argmin: (a2o_idx [b, n], o2a_idx [b, m], gp [b, 8, n])
+    with gp[b, p, i] = payload[b, p, a2o_idx[b, i]].
+
+    The attack packs (ori x/y/z, normal x/y/z, kappa_ori, 0) so the fused
+    loss's a2o-side row-gathers ride the 1-NN kernel's VMEM-resident
+    distance block instead of XLA dynamic-row gathers. `payload` must be
+    stop-gradient constants (the gather is non-differentiable).
+    """
+    adv = jax.lax.stop_gradient(adv)
+    ori = jax.lax.stop_gradient(ori)
+    payload = jax.lax.stop_gradient(payload)
+    m = ori.shape[-2]
+    n = adv.shape[-2]
+    if not _pallas_disabled("nn1") and (
+        _pallas_ok(m, 2)
+        and (n % 256 == 0 or (n % 8 == 0 and n <= 256))
+    ):
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_payload_pallas
+
+        rb = 256 if n % 256 == 0 else n
+        return nn1_dual_payload_pallas(adv, ori, payload, row_block=rb)
+    d = pairwise_sqdist(adv, ori)
+    a2o = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    o2a = jnp.argmin(d, axis=-2).astype(jnp.int32)
+    gp = jnp.take_along_axis(payload, a2o[:, None, :], axis=-1)
+    return a2o, o2a, gp
+
+
 class KNNPlanes(NamedTuple):
     """kNN result in coordinate-plane form: TPU-friendly [b, n, k] tensors.
 

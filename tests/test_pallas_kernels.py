@@ -821,3 +821,22 @@ class TestSAFusedPipeline:
         np.testing.assert_allclose(
             np.asarray(gfused), np.asarray(gref), rtol=5e-3, atol=5e-3
         )
+
+
+class TestNN1PayloadKernel:
+    def test_matches_argmin_and_gather(self, rng):
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_payload_pallas
+
+        adv = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+        pay = jnp.asarray(rng.randn(2, 8, 96).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            a2o, o2a, gp = nn1_dual_payload_pallas(adv, ori, pay, row_block=32)
+        d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
+        np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
+        want = np.take_along_axis(
+            np.asarray(pay), d.argmin(-1)[:, None, :], axis=-1
+        )
+        # payload copies are EXACT (3-split one-hot dots)
+        np.testing.assert_array_equal(np.asarray(gp), want)
