@@ -16,6 +16,7 @@ from geoa3_tpu.ops.knn import (
     knn_points,
     knn_points_planes,
     knn_gather,
+    knn_kappa,
     nn1_dual,
     nn1_dual_payload,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "knn_points",
     "knn_points_planes",
     "knn_gather",
+    "knn_kappa",
     "nn1_dual",
     "nn1_dual_payload",
     "furthest_point_sampling",

@@ -310,6 +310,42 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(d, 0.0)
 
 
+def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
+    """Curvature proxy over the self-kNN neighbourhood: cloud [b, n, 3],
+    normal [b, n, 3] (loss constants) -> kappa [b, n].
+
+    kappa_i = mean_{j in kNN_k(i), j != i} |unit(p_j - p_i) . n_i| — the
+    curvature statistic of reference Lib/loss_utils.py:70-85 with the
+    borrowed normal passed in. On TPU this is one fused Pallas kernel whose
+    backward is analytic mask-weighted matmuls (no scatter-add; see
+    ops/pallas/kappa_kernel.py — kappa agrees with the composed path to
+    ~1e-3 relative, not bitwise). Elsewhere: composed knn_points ->
+    normalize -> abs-dot-mean, bit-identical to the engine's pre-fusion
+    inline math. `normal` never receives gradient (the reference treats the
+    borrowed normal as constant — its gather is non-differentiable).
+    """
+    normal = jax.lax.stop_gradient(normal)
+    n = cloud.shape[-2]
+    if not _pallas_disabled("kappa"):
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _pick_row_block,
+            kappa_pallas,
+            kappa_pallas_available,
+        )
+
+        if kappa_pallas_available(n):
+            return kappa_pallas(cloud, normal, k, _pick_row_block(n))
+    res = knn_points(cloud, cloud, k=k + 1)
+    nn_pts = res.nbrs[:, :, 1:, :]
+    vectors = nn_pts - cloud[:, :, None, :]
+    vectors = vectors / jnp.maximum(
+        jnp.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12
+    )
+    return jnp.abs(
+        jnp.sum(vectors * normal[:, :, None, :], axis=-1)
+    ).mean(axis=-1)
+
+
 def knn_points(query: jax.Array, points: jax.Array, k: int) -> KNNResult:
     """k nearest neighbours of `query` in `points`.
 

@@ -1,0 +1,322 @@
+"""Fused self-kNN curvature (kappa) Pallas kernel.
+
+The attack's curvature loss (reference Lib/loss_utils.py:70-97,
+`_get_kappa_adv`) needs, per point i of the adv cloud:
+
+    kappa_i = mean_{j in kNN(i)} | unit(p_j - p_i) . n_i |
+
+where n_i is the (constant) normal borrowed from the nearest original point.
+The hot path previously ran the generic kNN kernel (k+1 argmin rounds, each
+emitting the selected neighbour's x/y/z via masked sums), materialised the
+[b, n, k, 3] neighbour block to HBM, recomputed unit vectors in XLA, and
+paid a one-hot-matmul scatter (~0.9 ms) plus gather/reshape glue (~0.6 ms)
+for the backward at b=32.
+
+This kernel exploits that curvature only ever consumes kappa — the per-slot
+neighbour structure is irrelevant. Per [R, m] row block:
+
+  forward:  distance block once (MXU expansion) -> k+1 argmin/knockout
+            rounds accumulating only a selection MASK -> kappa as ONE masked
+            reduction of A = |(p_c - q_i).n_i| / max(||p_c - q_i||, eps)
+            computed for the whole block from a second thin MXU matmul
+            (p . n_i^T). No per-slot emission, no [b, n, k, 3] tensor.
+  backward: analytic. dA/dp_c = sign.n_i/r - (A/r^2)(p_c - q_i) for selected
+            pairs, so the input gradient is four thin HIGHEST matmuls over
+            mask-weighted [R, m] matrices — the scatter-add disappears.
+
+Numerics vs the composed path (knn_points -> normalize -> abs-dot-mean):
+  * the selected neighbour SET is bit-identical (same distance expansion,
+    same lowest-index tie-break as knn_kernel.py);
+  * the SELF term is exactly zero: the center dot q_i.n_i is extracted from
+    the same MXU matrix row (diagonal), so |pn_ii - s_i| == 0 bitwise, which
+    reproduces the reference's slot-0 drop for coincident/self points;
+  * A uses r = sqrt(q2+p2-2qp) (the selection expansion) instead of the
+    direct-difference norm — for the ~0.05-radius neighbourhoods of a unit
+    cloud this differs by ~1e-4 relative (catastrophic-cancellation bound),
+    and the masked lane reduction reorders the mean, so kappa agrees with
+    the composed path to ~1e-3 relative, NOT bitwise. The engine's fused
+    loss documents this deviation; e2e success/CD/HD are re-certified with
+    the kernel on (RESULTS.md).
+
+The borrowed normals are loss constants (the payload gather is
+non-differentiable), so the kernel differentiates w.r.t. the cloud only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_INF = 3.4e38
+_EPS = 1e-12  # reference normalisation clamp (loss_utils.py:79)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dist_block(q, p):
+    """Squared-distance block [R, m] via the MXU expansion (bit-identical to
+    knn_kernel.py so the selected neighbour set matches knn_points)."""
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    p2 = jnp.sum(p * p, axis=-1)[None, :]
+    qp = jax.lax.dot_general(
+        q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    return jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
+
+
+def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
+    """q_ref [1, R, 3] (row block), p_ref [1, m, 3] (full cloud, == q),
+    nrm_ref [1, R, 3] (borrowed normals); kappa_ref [1, 1, R] f32 (the
+    singleton middle dim satisfies Mosaic's (8, 128) block-divisibility rule
+    for per-row outputs), mask_ref [1, R, m] int8 (the k+1 selected columns
+    per row, incl. self).
+    """
+    q = q_ref[0]
+    p = p_ref[0]
+    nv = nrm_ref[0]
+    R = q.shape[0]
+    m = p.shape[0]
+
+    d0 = _dist_block(q, p)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+
+    def body(j, carry):
+        d, mask = carry
+        vals = jnp.min(d, axis=-1)
+        first = jnp.min(jnp.where(d == vals[:, None], col, m), axis=-1)
+        hit = col == first[:, None]
+        return jnp.where(hit, _INF, d), mask + hit.astype(jnp.float32)
+
+    _, maskf = jax.lax.fori_loop(
+        0, k + 1, body, (d0, jnp.zeros((R, m), jnp.float32)), unroll=True
+    )
+
+    # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
+    # matmul; the center term q_i.n_i is the matrix's own diagonal (extracted
+    # by masked reduce), so the self column's numerator is exactly zero.
+    pn = jax.lax.dot_general(
+        nv, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [R, m]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
+    sdiag = jnp.sum(jnp.where(col == grow, pn, 0.0), axis=-1)  # [R]
+    rc = jnp.maximum(jnp.sqrt(d0), _EPS)
+    a = jnp.abs(pn - sdiag[:, None]) / rc
+    kappa_ref[0, 0] = jnp.sum(maskf * a, axis=-1) / k
+    mask_ref[0] = maskf.astype(jnp.int8)
+
+
+def _kappa_bwd_kernel(
+    q_ref, pt_ref, nrm_ref, mask_ref, g_ref, out_ref, *, k: int
+):
+    """One query row block's gradient contributions, accumulated into the
+    full-cloud planes output (revisited across the row-block grid dim).
+
+    q_ref [1, R, 3]; pt_ref [1, 8, m] (cloud planes, rows 0..2 = x/y/z);
+    nrm_ref [1, R, 3]; mask_ref [1, R, m] int8; g_ref [1, 1, R] (kappa
+    cotangents); out_ref [1, 8, m] f32 planes (rows 3..7 stay zero).
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]  # [R, 3]
+    pt = pt_ref[0]  # [8, m]
+    nv = nrm_ref[0]  # [R, 3]
+    maskf = mask_ref[0].astype(jnp.float32)  # [R, m]
+    g = g_ref[0, 0]  # [R]
+    R = q.shape[0]
+    m = pt.shape[1]
+
+    p3 = pt[:3]  # [3, m]
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    p2 = jnp.sum(p3 * p3, axis=0)[None, :]
+    qp = jax.lax.dot_general(
+        q, p3, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    d0 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
+    r = jnp.sqrt(d0)
+    rc = jnp.maximum(r, _EPS)
+
+    pn = jax.lax.dot_general(
+        nv, p3, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [R, m]
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
+    oh = (col == grow).astype(jnp.float32)  # [R, m]: row i's own column
+    sdiag = jnp.sum(oh * pn, axis=-1)
+    dot = pn - sdiag[:, None]
+    a = jnp.abs(dot) / rc
+
+    # dA/dp_c = sign.n_i/rc - gate.(A/rc^2).(p_c - q_i); dA/dq_i = -dA/dp_c.
+    # gate: the max(norm, eps) clamp stops the denominator gradient below eps
+    # (the numerator part survives via W1), matching jax.grad of the
+    # composed path. sign(0) = 0 kills both self terms exactly.
+    gk = (g / k)[:, None]  # [R, 1]
+    w1 = maskf * gk * jnp.sign(dot) / rc  # [R, m]
+    w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)  # [R, m]
+
+    # neighbour-side planes [3, m]: sum_i W1.n_i + W2.q_i - colsum(W2).p_c
+    dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
+    gp = (
+        jax.lax.dot_general(nv, w1, dimension_numbers=dn_r,
+                            preferred_element_type=jnp.float32, precision=_HI)
+        + jax.lax.dot_general(q, w2, dimension_numbers=dn_r,
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)
+        - jnp.sum(w2, axis=0)[None, :] * p3
+    )  # [3, m]
+
+    # center-side [R, 3] -> scattered onto this block's own columns via the
+    # diagonal one-hot (an MXU dot; no dynamic-lane stores)
+    w2p = jax.lax.dot_general(
+        w2, p3, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [R, 3]
+    gq = (
+        -jnp.sum(w1, axis=1)[:, None] * nv
+        + w2p
+        - jnp.sum(w2, axis=1)[:, None] * q
+    )  # [R, 3]
+    gcen = jax.lax.dot_general(
+        gq, oh, dimension_numbers=dn_r,
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [3, m]
+
+    contrib = jnp.concatenate(
+        [gp + gcen, jnp.zeros((5, m), jnp.float32)], axis=0
+    )  # [8, m]
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(j > 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _pick_row_block(n: int) -> int:
+    for rb in (256, 128):
+        if n % rb == 0:
+            return rb
+    return 0
+
+
+def kappa_pallas_available(n: int) -> bool:
+    """Gate: TPU backend, row blocks lane-aligned, VMEM-sized cloud."""
+    if not _HAS_PLTPU:
+        return False
+    if n % 128 != 0 or n > 4096 or _pick_row_block(n) == 0:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def _kappa_fwd_call(cloud, normal, k, row_block):
+    b, n, _ = cloud.shape
+    grid = (b, n // row_block)
+    kappa, mask = pl.pallas_call(
+        functools.partial(_kappa_fwd_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, row_block, n), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.int8),
+        ],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+            if _HAS_PLTPU
+            else None
+        ),
+    )(cloud.astype(jnp.float32), cloud.astype(jnp.float32),
+      normal.astype(jnp.float32))
+    return kappa[:, 0], mask
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def _kappa_bwd_call(cloud, normal, mask, g, k, row_block):
+    b, n, _ = cloud.shape
+    grid = (b, n // row_block)
+    pt = jnp.concatenate(
+        [
+            jnp.swapaxes(cloud.astype(jnp.float32), 1, 2),
+            jnp.zeros((b, 5, n), jnp.float32),
+        ],
+        axis=1,
+    )  # [b, 8, n]
+    out = pl.pallas_call(
+        functools.partial(_kappa_bwd_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, row_block, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+            if _HAS_PLTPU
+            else None
+        ),
+    )(cloud.astype(jnp.float32), pt, normal.astype(jnp.float32), mask,
+      g[:, None, :])
+    return out[:, :3, :].transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def kappa_pallas(cloud, normal, k, row_block=256):
+    """Curvature proxy on a self-kNN neighbourhood: cloud [b, n, 3],
+    normal [b, n, 3] (constants) -> kappa [b, n].
+
+    kappa_i = mean over the k nearest (non-self) neighbours of
+    |unit(p_j - p_i) . n_i| — the fused equivalent of
+    losses.get_kappa_adv's math with the normal passed in. Differentiable
+    in `cloud` (analytic VJP, see module docstring); `normal` gets zeros.
+    """
+    kappa, _ = _kappa_fwd_call(cloud, normal, k=k, row_block=row_block)
+    return kappa
+
+
+def _kappa_vjp_fwd(cloud, normal, k, row_block):
+    # jax>=0.9 custom_vjp: fwd keeps the primal signature (nondiff args in
+    # place); bwd receives the nondiff args as leading arguments
+    kappa, mask = _kappa_fwd_call(cloud, normal, k=k, row_block=row_block)
+    return kappa, (
+        jax.lax.stop_gradient(cloud),
+        jax.lax.stop_gradient(normal),
+        mask,
+    )
+
+
+def _kappa_vjp_bwd(k, row_block, res, g):
+    cloud, normal, mask = res
+    grad = _kappa_bwd_call(cloud, normal, mask, g.astype(jnp.float32), k=k,
+                           row_block=row_block)
+    return grad.astype(cloud.dtype), jnp.zeros_like(normal)
+
+
+kappa_pallas.defvjp(_kappa_vjp_fwd, _kappa_vjp_bwd)

@@ -842,3 +842,88 @@ class TestNN1PayloadKernel:
         )
         # payload copies are EXACT (3-split one-hot dots)
         np.testing.assert_array_equal(np.asarray(gp), want)
+
+
+class TestKappaKernel:
+    """Fused self-kNN curvature kernel vs the composed path (which is what
+    ops.knn_kappa runs on CPU, bit-equal to the engine's pre-fusion math)."""
+
+    def _data(self, rng, b=2, n=256):
+        cloud = rng.randn(b, n, 3).astype(np.float32)
+        cloud /= np.linalg.norm(cloud, axis=-1, keepdims=True).max()
+        nrm = rng.randn(b, n, 3).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        return jnp.asarray(cloud), jnp.asarray(nrm)
+
+    def test_forward_matches_composed(self, rng):
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng)
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_pallas(cloud, nrm, 16, 128)
+        want = ops.knn_kappa(cloud, nrm, 16)  # composed path on CPU
+        # expansion-vs-direct norm + lane-order mean: ~1e-3 relative bound
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5
+        )
+
+    def test_grad_matches_composed(self, rng):
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng)
+        w = jnp.asarray(rng.randn(2, 256).astype(np.float32))
+
+        def loss_kernel(c):
+            return jnp.sum(kappa_pallas(c, nrm, 16, 128) * w)
+
+        def loss_composed(c):
+            return jnp.sum(ops.knn_kappa(c, nrm, 16) * w)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_kernel)(cloud)
+        go = jax.grad(loss_composed)(cloud)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(go), rtol=5e-3, atol=5e-4
+        )
+
+    def test_coincident_points(self, rng):
+        """Exact duplicates: the dropped zero-distance slot contributes 0 in
+        both formulations, and the self column's numerator is exactly 0."""
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        cloud = np.array(cloud)
+        cloud[0, 64] = cloud[0, 10]  # duplicate pair (indices 10 < 64)
+        cloud[0, 65] = cloud[0, 10]
+        cloud = jnp.asarray(cloud)
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_pallas(cloud, nrm, 8, 64)
+        want = ops.knn_kappa(cloud, nrm, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5
+        )
+        assert np.isfinite(np.asarray(got)).all()
+
+    def test_multi_block_grad_accumulation(self, rng):
+        """Neighbour gradient contributions must accumulate across query
+        row blocks (revisited-output pattern)."""
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng, b=1, n=384)  # 3 blocks of 128
+
+        def loss_kernel(c):
+            return jnp.sum(kappa_pallas(c, nrm, 12, 128) ** 2)
+
+        def loss_composed(c):
+            return jnp.sum(ops.knn_kappa(c, nrm, 12) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_kernel)(cloud)
+        go = jax.grad(loss_composed)(cloud)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(go), rtol=5e-3, atol=5e-4
+        )
