@@ -168,7 +168,9 @@ def forward_losses(
         if cfg.is_cd_single_side:
             dis_loss = d_a2o.mean(axis=-1)
         else:
-            o2a_nn = jnp.take_along_axis(input_curr, o2a_idx[..., None].astype(jnp.int32), axis=1)
+            # Pallas-scatter backward (XLA's take-backward is a sort-based
+            # scatter-add, ~0.3 ms/step at b=32)
+            o2a_nn = ops.gather_rows3(input_curr, o2a_idx)
             d_o2a = jnp.sum((pc_ori - o2a_nn) ** 2, axis=-1)
             dis_loss = d_a2o.mean(axis=-1) + d_o2a.mean(axis=-1)
         constrain = cfg.dis_loss_weight * dis_loss

@@ -17,6 +17,7 @@ from geoa3_tpu.ops.knn import (
     knn_points_planes,
     knn_gather,
     knn_kappa,
+    gather_rows3,
     nn1_dual,
     nn1_dual_payload,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "knn_points_planes",
     "knn_gather",
     "knn_kappa",
+    "gather_rows3",
     "nn1_dual",
     "nn1_dual_payload",
     "furthest_point_sampling",

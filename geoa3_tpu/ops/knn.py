@@ -310,6 +310,42 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(d, 0.0)
 
 
+@jax.custom_vjp
+def gather_rows3(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather points [b, n, 3], idx [b, s] -> [b, s, 3] whose backward
+    is the Pallas one-hot-matmul scatter when available (XLA lowers the
+    take-backward as sort + segmented reduce — ~0.3 ms/step for the
+    o2a-side chamfer gather at b=32)."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def _gather_rows3_fwd(points, idx):
+    out = jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+    return out, (idx, points.shape[1])
+
+
+def _gather_rows3_bwd(res, ct):
+    idx, n = res
+    if (
+        _pallas_ok(n, 2) and n % 256 == 0
+        and not _pallas_disabled("scatter")
+    ):
+        from geoa3_tpu.ops.pallas.scatter_kernel import scatter_add_3t_pallas
+
+        g = scatter_add_3t_pallas(idx.astype(jnp.int32), ct, n)
+    else:
+        b = idx.shape[0]
+        g = (
+            jnp.zeros((b, n, 3), ct.dtype)
+            .at[jnp.arange(b)[:, None], idx]
+            .add(ct)
+        )
+    return g, None
+
+
+gather_rows3.defvjp(_gather_rows3_fwd, _gather_rows3_bwd)
+
+
 def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
     """Curvature proxy over the self-kNN neighbourhood: cloud [b, n, 3],
     normal [b, n, 3] (loss constants) -> kappa [b, n].

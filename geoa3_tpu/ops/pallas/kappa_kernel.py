@@ -89,6 +89,17 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
 
     d0 = _dist_block(q, p)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    growm = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
+    )
+
+    # the self column is always in the reference's top-(k+1) (d_ii ~ 0 and
+    # exact duplicates produce bit-equal distances, so the selected SET is
+    # unchanged): pre-select it and run only k argmin rounds. Its kappa
+    # contribution is exactly zero (see sdiag below), mirroring the
+    # reference's slot-0 drop.
+    diag = col == growm
+    d_start = jnp.where(diag, _INF, d0)
 
     def body(j, carry):
         d, mask = carry
@@ -98,7 +109,7 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
         return jnp.where(hit, _INF, d), mask + hit.astype(jnp.float32)
 
     _, maskf = jax.lax.fori_loop(
-        0, k + 1, body, (d0, jnp.zeros((R, m), jnp.float32)), unroll=True
+        0, k, body, (d_start, diag.astype(jnp.float32)), unroll=True
     )
 
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
@@ -108,8 +119,7 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
         nv, p, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
     )  # [R, m]
-    grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
-    sdiag = jnp.sum(jnp.where(col == grow, pn, 0.0), axis=-1)  # [R]
+    sdiag = jnp.sum(jnp.where(diag, pn, 0.0), axis=-1)  # [R]
     rc = jnp.maximum(jnp.sqrt(d0), _EPS)
     a = jnp.abs(pn - sdiag[:, None]) / rc
     kappa_ref[0, 0] = jnp.sum(maskf * a, axis=-1) / k
