@@ -60,6 +60,26 @@ except Exception:  # pragma: no cover
 _INF = 3.4e38
 _EPS = 1e-12  # reference normalisation clamp (loss_utils.py:79)
 _HI = jax.lax.Precision.HIGHEST
+# pin engineered bf16 passes against ambient jax.default_matmul_precision
+_PDEF = jax.lax.Precision.DEFAULT
+
+
+def _dot_hilo(a, b, dn):
+    """f32 dot via hi/lo split-bf16 (3 single-pass MXU products, ~2^-16
+    relative — the scatter kernel's accuracy contract). HIGHEST is a
+    6-product emulation whose [R, m] splits/combines ride the VPU beside
+    the selection loop; this halves that traffic. Only used where 2^-16
+    suffices (the A matrix and gradient weights), never for the selection
+    distances."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    f = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=_PDEF,
+    )
+    return f(ah, bh) + (f(ah, bl) + f(al, bh))
 
 
 def _dist_block(q, p):
@@ -115,10 +135,7 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
     # matmul; the center term q_i.n_i is the matrix's own diagonal (extracted
     # by masked reduce), so the self column's numerator is exactly zero.
-    pn = jax.lax.dot_general(
-        nv, p, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [R, m]
+    pn = _dot_hilo(nv, p, (((1,), (1,)), ((), ())))  # [R, m]
     sdiag = jnp.sum(jnp.where(diag, pn, 0.0), axis=-1)  # [R]
     rc = jnp.maximum(jnp.sqrt(d0), _EPS)
     a = jnp.abs(pn - sdiag[:, None]) / rc
@@ -148,6 +165,9 @@ def _kappa_bwd_kernel(
     p3 = pt[:3]  # [3, m]
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     p2 = jnp.sum(p3 * p3, axis=0)[None, :]
+    # the distance expansion cancels near neighbours, amplifying product
+    # error ~1000x relative: hi/lo's 2^-16 absolute becomes ~1% of d0 —
+    # keep this one dot at HIGHEST (measured: 2/1536 grads off by 0.8%)
     qp = jax.lax.dot_general(
         q, p3, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
@@ -156,10 +176,7 @@ def _kappa_bwd_kernel(
     r = jnp.sqrt(d0)
     rc = jnp.maximum(r, _EPS)
 
-    pn = jax.lax.dot_general(
-        nv, p3, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [R, m]
+    pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))  # [R, m]
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
     grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
     oh = (col == grow).astype(jnp.float32)  # [R, m]: row i's own column
@@ -178,29 +195,28 @@ def _kappa_bwd_kernel(
     # neighbour-side planes [3, m]: sum_i W1.n_i + W2.q_i - colsum(W2).p_c
     dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
     gp = (
-        jax.lax.dot_general(nv, w1, dimension_numbers=dn_r,
-                            preferred_element_type=jnp.float32, precision=_HI)
-        + jax.lax.dot_general(q, w2, dimension_numbers=dn_r,
-                              preferred_element_type=jnp.float32,
-                              precision=_HI)
+        _dot_hilo(nv, w1, dn_r)
+        + _dot_hilo(q, w2, dn_r)
         - jnp.sum(w2, axis=0)[None, :] * p3
     )  # [3, m]
 
     # center-side [R, 3] -> scattered onto this block's own columns via the
     # diagonal one-hot (an MXU dot; no dynamic-lane stores)
-    w2p = jax.lax.dot_general(
-        w2, p3, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [R, 3]
+    w2p = _dot_hilo(w2, p3, (((1,), (1,)), ((), ())))  # [R, 3]
     gq = (
         -jnp.sum(w1, axis=1)[:, None] * nv
         + w2p
         - jnp.sum(w2, axis=1)[:, None] * q
     )  # [R, 3]
-    gcen = jax.lax.dot_general(
-        gq, oh, dimension_numbers=dn_r,
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [3, m]
+    # one-hot side is exact in bf16: split only gq (2 products)
+    gqh = gq.astype(jnp.bfloat16)
+    gql = (gq - gqh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh.astype(jnp.bfloat16)
+    _f = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn_r,
+        preferred_element_type=jnp.float32, precision=_PDEF,
+    )
+    gcen = _f(gqh, ohb) + _f(gql, ohb)  # [3, m]
 
     contrib = jnp.concatenate(
         [gp + gcen, jnp.zeros((5, m), jnp.float32)], axis=0
