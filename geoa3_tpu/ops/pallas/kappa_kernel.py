@@ -232,7 +232,9 @@ def _kappa_bwd_kernel(
 
 
 def _pick_row_block(n: int) -> int:
-    for rb in (256, 128):
+    # 512 measured best at [32, 1024, k=16]: 2.43 ms fwd+bwd vs 2.50 (256)
+    # and 2.83 (128) — runs/bench_kappa_rb.py
+    for rb in (512, 256, 128):
         if n % rb == 0:
             return rb
     return 0
