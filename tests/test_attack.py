@@ -524,3 +524,59 @@ class TestDebugCallback:
         assert [c[0] for c in calls] == [0, 1, 2]
         assert calls[0][1] == pc.shape
         assert calls[0][2] == (cfg.iter_max_steps, pc.shape[0])
+
+
+class TestKappaKernelEnginePath:
+    """The TPU branch of forward_losses' curvature term (ops.knn_kappa ->
+    kappa_pallas) must agree with the composed branch through the ENGINE —
+    exercised by forcing the kernel dispatch under interpret mode."""
+
+    def test_engine_curv_loss_matches_composed(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        from geoa3_tpu import losses as L
+        from geoa3_tpu.attack import engine
+        from geoa3_tpu.ops.pallas import kappa_kernel
+
+        logits_fn, pc, normal, gt = make_batch(rng, n=128)
+        adv = pc + 0.01 * rng.randn(*pc.shape).astype(np.float32)
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=CLASSES, npoint=128,
+            dis_loss_type="CD", hd_loss_weight=0.1, curv_loss_weight=1.0,
+            curv_loss_knn=4,
+        )
+        kappa_ori = L.get_kappa_ori(jnp.asarray(pc), jnp.asarray(normal), 4)
+        const = jnp.full((pc.shape[0],), 10.0)
+
+        args = (
+            logits_fn, jnp.asarray(pc), jnp.asarray(adv),
+            jnp.asarray(normal), kappa_ori, jnp.asarray(gt), const, cfg,
+        )
+        _, aux_composed = engine.forward_losses(*args)
+
+        monkeypatch.setattr(
+            kappa_kernel, "kappa_pallas_available", lambda n: True
+        )
+        calls = []
+        real = kappa_kernel.kappa_pallas
+
+        def spy(cloud, nrm, k, rb):
+            calls.append((k, rb))
+            return real(cloud, nrm, k, rb)
+
+        monkeypatch.setattr(kappa_kernel, "kappa_pallas", spy)
+        with pltpu.force_tpu_interpret_mode():
+            _, aux_kernel = engine.forward_losses(*args)
+        assert calls == [(4, 128)]  # the kernel path actually ran
+
+        np.testing.assert_allclose(
+            np.asarray(aux_kernel.curv_loss),
+            np.asarray(aux_composed.curv_loss),
+            rtol=1e-4, atol=1e-6,
+        )
+        # the other loss terms must be untouched by the dispatch
+        np.testing.assert_array_equal(
+            np.asarray(aux_kernel.dis_loss), np.asarray(aux_composed.dis_loss)
+        )
