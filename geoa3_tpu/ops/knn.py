@@ -127,7 +127,9 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
     elif _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
         from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
 
-        rb = 256 if n % 256 == 0 else n
+        # larger row blocks amortise per-block overhead (measured sweep at
+        # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
+        rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
         return nn1_dual_pallas(adv, ori, row_block=rb)
     d = pairwise_sqdist(adv, ori)
     return (
@@ -157,7 +159,9 @@ def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
     ):
         from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_payload_pallas
 
-        rb = 256 if n % 256 == 0 else n
+        # larger row blocks amortise per-block overhead (measured sweep at
+        # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
+        rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
         return nn1_dual_payload_pallas(adv, ori, payload, row_block=rb)
     d = pairwise_sqdist(adv, ori)
     a2o = jnp.argmin(d, axis=-1).astype(jnp.int32)
