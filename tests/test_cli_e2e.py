@@ -42,10 +42,11 @@ def trained_victim(workdir):
     return modeldir, result
 
 
-def test_full_pipeline(workdir, trained_victim):
-    modeldir, train_result = trained_victim
-
-    # ---- 1. distill attack set with the trained victim ----
+@pytest.fixture(scope="module")
+def distilled_set(workdir, trained_victim):
+    """Distill the synthetic attack set into Data/ with the trained victim
+    (shared by every test that consumes a .mat attack set)."""
+    modeldir, _ = trained_victim
     from geoa3_tpu.cli.gen_data_mat import build_parser as gp, main as gen_main
 
     gargs = gp().parse_args(
@@ -57,7 +58,14 @@ def test_full_pipeline(workdir, trained_victim):
             "--checkpoint", modeldir,
         ]
     )
-    mat_path = gen_main(gargs)
+    return gen_main(gargs)
+
+
+def test_full_pipeline(workdir, trained_victim, distilled_set):
+    modeldir, train_result = trained_victim
+
+    # ---- 1. distilled attack set (fixture) ----
+    mat_path = distilled_set
     assert os.path.isfile(mat_path)
     import scipy.io as sio
 
@@ -181,15 +189,14 @@ def test_attack_bf16_victim_flag(workdir, trained_victim):
     assert os.path.isfile(os.path.join(saved_dir, "attack_result.txt"))
 
 
-def test_eval_mode_no_attack(workdir, trained_victim):
+def test_eval_mode_no_attack(workdir, trained_victim, distilled_set):
     """--attack None evaluates clean accuracy (reference main_attack.py:212-224)."""
     modeldir, _ = trained_victim
     from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
 
-    mat = [f for f in os.listdir("Data") if f.endswith(".mat")][0]
     aargs = ap().parse_args(
         [
-            "--data_dir_file", os.path.join("Data", mat),
+            "--data_dir_file", distilled_set,
             "--attack_label", "Untarget",
             "--npoint", "64",
             "-b", "4",
@@ -308,6 +315,7 @@ def test_attack_with_save_normal(workdir, trained_victim):
 
     modeldir, _ = trained_victim
     # small attack set + a denser twin (same instances, more points)
+    os.makedirs("Data", exist_ok=True)
     d = make_synthetic_attack_set(num_per_class=1, npoint=64, classes=2, seed=7)
     sio.savemat("Data/sn_set.mat", d)
     dense = make_synthetic_attack_set(num_per_class=1, npoint=128, classes=2, seed=7)
