@@ -119,17 +119,23 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
     # contribution is exactly zero (see sdiag below), mirroring the
     # reference's slot-0 drop.
     diag = col == growm
-    d_start = jnp.where(diag, _INF, d0)
 
-    def body(j, carry):
-        d, mask = carry
-        vals = jnp.min(d, axis=-1)
-        first = jnp.min(jnp.where(d == vals[:, None], col, m), axis=-1)
-        hit = col == first[:, None]
-        return jnp.where(hit, _INF, d), mask + hit.astype(jnp.float32)
+    # carry only the boolean knockout mask and re-mask the immutable d0
+    # each round: the [R, m] f32 distance carry (and its per-round rewrite)
+    # disappears from the loop. Measured 2.43 -> 2.41 ms fwd+bwd at the
+    # attack shape (runs/bench_kappa_rb.py; rb 256/1024 re-swept worse at
+    # 2.46/2.69) — the loop is reduction-bound, not carry-bound, so this is
+    # parity kept for the smaller carry. Selected set is bitwise identical
+    # (same masked argmin over the same INF positions, same lowest-index
+    # tie-break).
+    def body(j, mask):
+        dm = jnp.where(mask, _INF, d0)
+        vals = jnp.min(dm, axis=-1)
+        first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
+        return jnp.logical_or(mask, col == first[:, None])
 
-    _, maskf = jax.lax.fori_loop(
-        0, k, body, (d_start, diag.astype(jnp.float32)), unroll=True
+    maskf = jax.lax.fori_loop(0, k, body, diag, unroll=True).astype(
+        jnp.float32
     )
 
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
