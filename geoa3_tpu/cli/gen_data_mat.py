@@ -58,7 +58,9 @@ def main(cfg) -> str:
     model = build_model(cfg.arch, cfg.classes, cfg.npoint)
     ckpt = cfg.checkpoint or os.path.join("Pretrained", cfg.arch, str(cfg.npoint))
     variables = load_victim_variables(ckpt, arch=cfg.arch)
-    jitted = jax.jit(make_eval_fn(model, variables))
+    # pinned: the distillation filter is a selection decision — the attack
+    # set must not shift with the round's fused-kernel defaults
+    jitted = jax.jit(make_eval_fn(model, variables, pinned=True))
 
     def logits_fn(pc):
         return np.asarray(jitted(jnp.asarray(pc)))

@@ -154,16 +154,82 @@ _GENERATORS = [
     _pyramid,
 ]
 
+# per-instance deformation budget: sum_j |a_j|*|w_j| <= _DEFORM_LIPSCHITZ
+# keeps the field's Jacobian I + sum_j a_j cos(.) d_j w_j^T strictly
+# invertible (operator norm of the perturbation < 1) and the shapes
+# recognisably their class
+_DEFORM_WAVES = 3
+_DEFORM_LIPSCHITZ = 0.45
+
+
+def _deform_instance(
+    pts: np.ndarray, nrm: np.ndarray, rng: np.random.RandomState
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-instance smooth deformation with EXACT normal transport.
+
+    Why: every instance of a class used to be the same perfect geometric
+    primitive up to sampling noise — the trained victim could classify the
+    sphere class by a globally-robust shell feature that no pointwise C&W
+    gradient can assemble (round-3 MSG recert failures; real ModelNet has
+    no perfect-primitive class, so this was a self-inflicted ceiling).
+    Each instance now gets its own low-frequency displacement field
+
+        p' = p + sum_j a_j sin(w_j . p + phi_j) d_j
+
+    whose Jacobian J = I + sum_j a_j cos(w_j . p + phi_j) d_j w_j^T is
+    analytic, so surface normals transport exactly as n' = unit(J^{-T} n)
+    (covariant normal rule), followed by a per-instance anisotropic scale
+    and a z-rotation. No class remains a perfect primitive, while classes
+    stay trivially separable (amplitude budget above).
+    """
+    n = len(pts)
+    d = _unit(rng.randn(_DEFORM_WAVES, 3))  # displacement directions
+    w = rng.randn(_DEFORM_WAVES, 3)  # frequency vectors
+    w = _unit(w) * rng.uniform(0.8, 2.5, (_DEFORM_WAVES, 1))
+    phi = rng.uniform(0, 2 * np.pi, _DEFORM_WAVES)
+    a = rng.uniform(0.05, 0.15, _DEFORM_WAVES) * rng.choice(
+        [-1.0, 1.0], _DEFORM_WAVES
+    )
+    # rescale amplitudes into the invertibility/recognisability budget
+    lip = np.sum(np.abs(a) * np.linalg.norm(w, axis=1))
+    if lip > _DEFORM_LIPSCHITZ:
+        a *= _DEFORM_LIPSCHITZ / lip
+
+    phase = pts @ w.T + phi  # [n, J]
+    out = pts + np.sin(phase) @ (a[:, None] * d)
+    jac = np.eye(3)[None] + np.einsum(
+        "nj,ja,jb->nab", np.cos(phase) * a, d, w
+    )  # [n, 3, 3]
+    new_nrm = _unit(
+        np.linalg.solve(np.transpose(jac, (0, 2, 1)), nrm[:, :, None])[..., 0]
+    )
+
+    # anisotropic scale (normals via inverse scale) + z-rotation
+    s = rng.uniform(0.85, 1.15, 3)
+    out = out * s
+    new_nrm = _unit(new_nrm / s)
+    theta = rng.uniform(0, 2 * np.pi)
+    c, si = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
+    return out @ rot.T, new_nrm @ rot.T
+
 
 def sample_shape(
-    class_id: int, n: int, rng: np.random.RandomState
+    class_id: int,
+    n: int,
+    rng: np.random.RandomState,
+    deform: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample one cloud of class `class_id` -> (points [n, 3], normals [n, 3]).
 
     Points are centred and scaled to the unit sphere (matching the reference
     attack-set normalisation, gen_data_mat.py:151-158); normals are unit.
+    `deform` (default) applies the per-instance smooth deformation — pass
+    False only for tests that need the analytic primitive itself.
     """
     pts, nrm = _GENERATORS[class_id % len(_GENERATORS)](rng, n)
+    if deform:
+        pts, nrm = _deform_instance(pts, nrm, rng)
     pts = pts - pts.mean(axis=0, keepdims=True)
     pts = pts / np.linalg.norm(pts, axis=1).max()
     return pts.astype(np.float32), nrm.astype(np.float32)

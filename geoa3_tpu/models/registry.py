@@ -38,7 +38,7 @@ def init_variables(model, key: jax.Array, n: int = 1024) -> dict:
 
 
 def make_eval_fn(
-    model, variables: dict, dtype=None
+    model, variables: dict, dtype=None, pinned: bool = False
 ) -> Callable[[jax.Array], jax.Array]:
     """Return logits_fn(pc [b, n, 3]) -> [b, classes] in eval mode.
 
@@ -49,6 +49,10 @@ def make_eval_fn(
     PointNet backward to a zero input gradient at some shapes (see the
     remat note below and RESULTS.md); success must always be judged by the
     f32 victim (engine eval_logits_fn).
+    `pinned=True` bakes composed-XLA dispatch into the program
+    (ops/dispatch.py) — required wherever the argmax feeds a SELECTION
+    decision (attack-set distillation, reference gen_data_mat.py:250-263),
+    so the selected set never shifts with the round's kernel defaults.
     """
     if dtype is not None:
         variables = jax.tree.map(
@@ -61,7 +65,13 @@ def make_eval_fn(
     def logits_fn(pc: jax.Array) -> jax.Array:
         if dtype is not None:
             pc = pc.astype(dtype)
-        out = model.apply(variables, pc, train=False)
+        if pinned:
+            from geoa3_tpu.ops.dispatch import pinned_composed
+
+            with pinned_composed():  # trace-time: pins dispatch decisions
+                out = model.apply(variables, pc, train=False)
+        else:
+            out = model.apply(variables, pc, train=False)
         return out.astype(jnp.float32) if dtype is not None else out
 
     if dtype is not None and type(model).__name__ == "PointNet":

@@ -250,13 +250,12 @@ def get_topk_backend() -> str:
     return _TOPK_MODE if _TOPK_MODE != "approx" else f"approx:{_TOPK_RECALL}"
 
 
-import os as _os
-
-
 def _pallas_disabled(which: str) -> bool:
-    """Kill-switch: GEOA3_DISABLE_PALLAS="knn,nn1,scatter,fps" (or "all")."""
-    flags = _os.environ.get("GEOA3_DISABLE_PALLAS", "")
-    return "all" in flags or which in flags
+    """Kill-switch: GEOA3_DISABLE_PALLAS="knn,nn1,scatter,fps" (or "all"),
+    plus the trace-time pinned-composed context (ops/dispatch.py)."""
+    from geoa3_tpu.ops import dispatch
+
+    return dispatch.pallas_disabled(which)
 
 
 def _pallas_ok(m: int, k: int) -> bool:

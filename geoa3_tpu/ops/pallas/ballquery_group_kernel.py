@@ -440,10 +440,9 @@ def _interpret() -> bool:
 
 def ball_query_group_available(n: int, m: int, ns: int, cf: int) -> bool:
     """Shape gate (kill switch GEOA3_DISABLE_PALLAS=bqgroup)."""
-    import os
+    from geoa3_tpu.ops import dispatch
 
-    flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
-    if "all" in flags or "bqgroup" in flags:
+    if dispatch.pallas_disabled("bqgroup"):
         return False
     if not pallas_available():
         return False

@@ -403,10 +403,9 @@ def group_mlp_available(
     — exactly what XLA does to the unfused victim's f32 dots; see
     pool_matmul_kernel.platform_f32_exact) flipped it to a WIN: 8.45 vs
     9.35 ms/step (0.378 vs 0.327 attacks/s). Now the default eval path."""
-    import os
+    from geoa3_tpu.ops import dispatch
 
-    flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
-    if "all" in flags or "groupmlp" in flags:
+    if dispatch.pallas_disabled("groupmlp"):
         return False
     if len(mlp_widths) != 3:
         return False

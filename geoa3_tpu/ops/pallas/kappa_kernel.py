@@ -247,7 +247,12 @@ def _pick_row_block(n: int) -> int:
 
 
 def kappa_pallas_available(n: int) -> bool:
-    """Gate: TPU backend, row blocks lane-aligned, VMEM-sized cloud."""
+    """Gate: TPU backend, row blocks lane-aligned, VMEM-sized cloud
+    (kill switch GEOA3_DISABLE_PALLAS=kappa)."""
+    from geoa3_tpu.ops import dispatch
+
+    if dispatch.pallas_disabled("kappa"):
+        return False
     if not _HAS_PLTPU:
         return False
     if n % 128 != 0 or n > 4096 or _pick_row_block(n) == 0:

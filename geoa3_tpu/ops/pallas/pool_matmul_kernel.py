@@ -237,10 +237,9 @@ def pool_matmul_available(
     n: int, cin: int, cout: int, seg: int = 0, taps: int = 1
 ) -> bool:
     """Shape gate: default-ON on TPU (kill switch GEOA3_DISABLE_PALLAS=pool)."""
-    import os
+    from geoa3_tpu.ops import dispatch
 
-    flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
-    if "all" in flags or "pool" in flags:
+    if dispatch.pallas_disabled("pool"):
         return False
     if not pallas_available():
         return False

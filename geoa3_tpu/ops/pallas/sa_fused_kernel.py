@@ -375,10 +375,9 @@ def sa_fused_available(
     """Shape gate for the fully-fused SA kernel (kill switch
     GEOA3_DISABLE_PALLAS=safused falls back to the split
     ballquery_group + group_mlp pipeline)."""
-    import os
+    from geoa3_tpu.ops import dispatch
 
-    flags = os.environ.get("GEOA3_DISABLE_PALLAS", "")
-    if "all" in flags or "safused" in flags:
+    if dispatch.pallas_disabled("safused"):
         return False
     if not pallas_available():
         return False

@@ -166,15 +166,29 @@ def make_train_step(
 
 
 def make_eval_step(cfg: TrainConfig):
+    """Test-accuracy step for the best-checkpoint rule (reference :311-339).
+
+    Dispatch is PINNED to the composed XLA path (ops/dispatch.py): checkpoint
+    selection must not depend on which fused kernels are default — in round 3
+    an eval-accuracy ULP from a fused kernel silently picked a different
+    (equally 100%-accurate) best victim draw and changed the certified attack
+    headline. Eval is a tiny fraction of training time, so the unfused path
+    costs nothing that matters.
+    """
+    from geoa3_tpu.ops.dispatch import pinned_composed
+
     model = _build(cfg, epoch=1)
 
     @jax.jit
     def eval_step(state: TrainState, pc, target):
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            pc,
-            train=False,
-        )
+        # the context runs at trace time, baking composed dispatch into
+        # this program without leaking to any other program in the process
+        with pinned_composed():
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pc,
+                train=False,
+            )
         loss = smoothing_cross_entropy(
             logits, target, cfg.classes, cfg.label_smoothing
         )

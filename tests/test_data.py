@@ -34,6 +34,59 @@ class TestSynthetic:
                 np.linalg.norm(m, axis=1), 1.0, atol=1e-4
             )
 
+    def test_no_class_is_a_perfect_primitive(self):
+        """Per-instance deformation (round-4): the sphere class must no
+        longer be a perfect shell — a perfect-primitive class let the victim
+        learn a globally-robust feature no pointwise C&W gradient can crack
+        (round-3 MSG recert failures)."""
+        def bestfit_sphere_resid(p):
+            # least-squares sphere fit (linear in center and r^2 - |c|^2)
+            A = np.concatenate([2 * p, np.ones((len(p), 1))], 1)
+            b = (p**2).sum(1)
+            x, *_ = np.linalg.lstsq(A, b, rcond=None)
+            c = x[:3]
+            r = np.sqrt(x[3] + c @ c)
+            return np.abs(np.linalg.norm(p - c, axis=1) - r).std()
+
+        p, _ = data.sample_shape(0, 2048, np.random.RandomState(3))  # sphere
+        assert bestfit_sphere_resid(p) > 0.01, "sphere still a perfect shell"
+        # undeformed escape hatch stays a perfect primitive
+        p0, _ = data.sample_shape(0, 2048, np.random.RandomState(3), deform=False)
+        assert bestfit_sphere_resid(p0) < 1e-6
+
+    def test_instances_of_a_class_differ(self):
+        rng = np.random.RandomState(0)
+        a, _ = data.sample_shape(4, 512, rng)
+        b, _ = data.sample_shape(4, 512, rng)
+        # same class, different draws -> different shapes (not just resampled)
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(b).query(a)
+        assert d.mean() > 0.02, "instances are near-identical shapes"
+
+    def test_deformed_normals_are_exact(self):
+        """Jacobian normal transport: a surface tangent t at p maps to J t at
+        p', which must stay orthogonal to the transported normal n'."""
+        from geoa3_tpu.data.synthetic import _deform_instance, _sphere, _unit
+
+        pts, nrm = _sphere(np.random.RandomState(1), 256)
+        # two tangent directions per point (complete the frame from n)
+        helper = np.where(
+            np.abs(nrm[:, :1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]]
+        )
+        t1 = _unit(np.cross(nrm, helper))
+        t2 = _unit(np.cross(nrm, t1))
+        eps = 1e-5
+        out, new_nrm = _deform_instance(pts, nrm, np.random.RandomState(7))
+        for t in (t1, t2):
+            # same seed -> identical field; finite-difference the tangent map
+            out_eps, _ = _deform_instance(
+                pts + eps * t, nrm, np.random.RandomState(7)
+            )
+            jt = (out_eps - out) / eps  # ~ J t (plus scale/rot, also linear)
+            dots = np.abs(np.einsum("nd,nd->n", _unit(jt), new_nrm))
+            assert dots.max() < 5e-4, f"normal not orthogonal: {dots.max()}"
+
 
 class TestAttackSetDataset:
     def test_all_mode_gives_9_targets(self, mat_file):
