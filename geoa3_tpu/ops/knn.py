@@ -370,10 +370,13 @@ def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
             _pick_row_block,
             kappa_pallas,
             kappa_pallas_available,
+            kappa_select_default,
         )
 
         if kappa_pallas_available(n):
-            return kappa_pallas(cloud, normal, k, _pick_row_block(n))
+            return kappa_pallas(
+                cloud, normal, k, _pick_row_block(n), kappa_select_default()
+            )
     res = knn_points(cloud, cloud, k=k + 1)
     nn_pts = res.nbrs[:, :, 1:, :]
     vectors = nn_pts - cloud[:, :, None, :]

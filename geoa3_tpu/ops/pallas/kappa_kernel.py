@@ -94,7 +94,9 @@ def _dist_block(q, p):
     return jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
 
 
-def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
+def _kappa_fwd_kernel(
+    q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int, select: str
+):
     """q_ref [1, R, 3] (row block), p_ref [1, m, 3] (full cloud, == q),
     nrm_ref [1, R, 3] (borrowed normals); kappa_ref [1, 1, R] f32 (the
     singleton middle dim satisfies Mosaic's (8, 128) block-divisibility rule
@@ -120,23 +122,55 @@ def _kappa_fwd_kernel(q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int):
     # reference's slot-0 drop.
     diag = col == growm
 
-    # carry only the boolean knockout mask and re-mask the immutable d0
-    # each round: the [R, m] f32 distance carry (and its per-round rewrite)
-    # disappears from the loop. Measured 2.43 -> 2.41 ms fwd+bwd at the
-    # attack shape (runs/bench_kappa_rb.py; rb 256/1024 re-swept worse at
-    # 2.46/2.69) — the loop is reduction-bound, not carry-bound, so this is
-    # parity kept for the smaller carry. Selected set is bitwise identical
-    # (same masked argmin over the same INF positions, same lowest-index
-    # tie-break).
-    def body(j, mask):
-        dm = jnp.where(mask, _INF, d0)
-        vals = jnp.min(dm, axis=-1)
-        first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
-        return jnp.logical_or(mask, col == first[:, None])
+    if select == "packed":
+        # SINGLE-reduction knockout rounds: d0 >= 0, so its f32 bit pattern
+        # is order-isomorphic to the value; truncate the low mantissa bits
+        # and pack the lane index there, then each round is ONE int-min
+        # reduction (min value AND lowest-index tie-break in one key) plus
+        # an elementwise knockout — vs the exact path's two f32 reductions
+        # per round. The truncation (2^-13 relative at m=1024) can swap
+        # near-tied neighbours, a perturbation well inside the kernel's
+        # documented ~1e-3 kappa tolerance; opt-in via GEOA3_KAPPA_SELECT
+        # with e2e re-certification (engine deviation discipline).
+        idx_bits = max(1, (m - 1).bit_length())
+        quant = jnp.int32(-(1 << idx_bits))
+        pk0 = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(d0, jnp.int32), quant
+            ),
+            col,
+        )
+        imax = jnp.int32(2**31 - 1)
 
-    maskf = jax.lax.fori_loop(0, k, body, diag, unroll=True).astype(
-        jnp.float32
-    )
+        def body_packed(j, carry):
+            pkm, mask = carry
+            best = jnp.min(pkm, axis=-1)
+            sel = pk0 == best[:, None]
+            return jnp.where(sel, imax, pkm), jnp.logical_or(mask, sel)
+
+        _, maskb = jax.lax.fori_loop(
+            0, k, body_packed, (jnp.where(diag, imax, pk0), diag),
+            unroll=True,
+        )
+        maskf = maskb.astype(jnp.float32)
+    else:
+        # carry only the boolean knockout mask and re-mask the immutable d0
+        # each round: the [R, m] f32 distance carry (and its per-round
+        # rewrite) disappears from the loop. Measured 2.43 -> 2.41 ms
+        # fwd+bwd at the attack shape (runs/bench_kappa_rb.py; rb 256/1024
+        # re-swept worse at 2.46/2.69) — the loop is reduction-bound, not
+        # carry-bound, so this is parity kept for the smaller carry.
+        # Selected set is bitwise identical (same masked argmin over the
+        # same INF positions, same lowest-index tie-break).
+        def body(j, mask):
+            dm = jnp.where(mask, _INF, d0)
+            vals = jnp.min(dm, axis=-1)
+            first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
+            return jnp.logical_or(mask, col == first[:, None])
+
+        maskf = jax.lax.fori_loop(0, k, body, diag, unroll=True).astype(
+            jnp.float32
+        )
 
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
     # matmul; the center term q_i.n_i is the matrix's own diagonal (extracted
@@ -263,12 +297,12 @@ def kappa_pallas_available(n: int) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_block"))
-def _kappa_fwd_call(cloud, normal, k, row_block):
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "select"))
+def _kappa_fwd_call(cloud, normal, k, row_block, select="exact"):
     b, n, _ = cloud.shape
     grid = (b, n // row_block)
     kappa, mask = pl.pallas_call(
-        functools.partial(_kappa_fwd_kernel, k=k),
+        functools.partial(_kappa_fwd_kernel, k=k, select=select),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
@@ -326,8 +360,20 @@ def _kappa_bwd_call(cloud, normal, mask, g, k, row_block):
     return out[:, :3, :].transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def kappa_pallas(cloud, normal, k, row_block=256):
+def kappa_select_default() -> str:
+    """Selection-loop variant: 'exact' (two f32 reductions per knockout
+    round, bit-identical neighbour set) or 'packed' (one int-min reduction
+    per round over quantised distance bits, opt-in via
+    GEOA3_KAPPA_SELECT=packed — near-tie swaps inside the kernel's ~1e-3
+    kappa tolerance, e2e re-certified; see _kappa_fwd_kernel)."""
+    import os
+
+    v = os.environ.get("GEOA3_KAPPA_SELECT", "exact")
+    return v if v in ("exact", "packed") else "exact"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def kappa_pallas(cloud, normal, k, row_block=256, select="exact"):
     """Curvature proxy on a self-kNN neighbourhood: cloud [b, n, 3],
     normal [b, n, 3] (constants) -> kappa [b, n].
 
@@ -336,14 +382,18 @@ def kappa_pallas(cloud, normal, k, row_block=256):
     losses.get_kappa_adv's math with the normal passed in. Differentiable
     in `cloud` (analytic VJP, see module docstring); `normal` gets zeros.
     """
-    kappa, _ = _kappa_fwd_call(cloud, normal, k=k, row_block=row_block)
+    kappa, _ = _kappa_fwd_call(
+        cloud, normal, k=k, row_block=row_block, select=select
+    )
     return kappa
 
 
-def _kappa_vjp_fwd(cloud, normal, k, row_block):
+def _kappa_vjp_fwd(cloud, normal, k, row_block, select):
     # jax>=0.9 custom_vjp: fwd keeps the primal signature (nondiff args in
     # place); bwd receives the nondiff args as leading arguments
-    kappa, mask = _kappa_fwd_call(cloud, normal, k=k, row_block=row_block)
+    kappa, mask = _kappa_fwd_call(
+        cloud, normal, k=k, row_block=row_block, select=select
+    )
     return kappa, (
         jax.lax.stop_gradient(cloud),
         jax.lax.stop_gradient(normal),
@@ -351,7 +401,8 @@ def _kappa_vjp_fwd(cloud, normal, k, row_block):
     )
 
 
-def _kappa_vjp_bwd(k, row_block, res, g):
+def _kappa_vjp_bwd(k, row_block, select, res, g):
+    del select  # backward consumes the forward's mask; no selection rerun
     cloud, normal, mask = res
     grad = _kappa_bwd_call(cloud, normal, mask, g.astype(jnp.float32), k=k,
                            row_block=row_block)

@@ -907,6 +907,79 @@ class TestKappaKernel:
         )
         assert np.isfinite(np.asarray(got)).all()
 
+    def test_packed_select_forward(self, rng):
+        """Packed single-reduction knockout (GEOA3_KAPPA_SELECT=packed):
+        quantised-bit tie-breaks may swap near-tied neighbours, but kappa
+        must stay inside the kernel's documented ~1e-3 tolerance."""
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng)
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_pallas(cloud, nrm, 16, 128, "packed")
+        want = ops.knn_kappa(cloud, nrm, 16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-5
+        )
+
+    def test_packed_select_grad(self, rng):
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        w = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+
+        def loss_kernel(c):
+            return jnp.sum(kappa_pallas(c, nrm, 8, 64, "packed") * w)
+
+        def loss_composed(c):
+            return jnp.sum(ops.knn_kappa(c, nrm, 8) * w)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_kernel)(cloud)
+        go = jax.grad(loss_composed)(cloud)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(go), rtol=5e-3, atol=5e-4
+        )
+
+    def test_packed_select_duplicates_finite(self, rng):
+        """Exact duplicates: packed forward matches composed, and the
+        kernel's analytic grad stays finite (the composed oracle itself
+        NaNs here — 0-norm backward — so only the kernel is asserted)."""
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        cloud = np.array(cloud)
+        cloud[0, 64] = cloud[0, 10]
+        cloud = jnp.asarray(cloud)
+        w = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_pallas(cloud, nrm, 8, 64, "packed")
+            gk = jax.grad(
+                lambda c: jnp.sum(kappa_pallas(c, nrm, 8, 64, "packed") * w)
+            )(cloud)
+        want = ops.knn_kappa(cloud, nrm, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-5
+        )
+        assert np.isfinite(np.asarray(gk)).all()
+
+    def test_packed_select_set_matches_exact_on_separated_data(self, rng):
+        """With distances separated by more than the 2^-13 quantisation,
+        packed and exact must select the IDENTICAL neighbour set (the mask
+        output drives the backward)."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import _kappa_fwd_call
+
+        cloud, nrm = self._data(rng, b=2, n=128)
+        with pltpu.force_tpu_interpret_mode():
+            _, m_exact = _kappa_fwd_call(cloud, nrm, 8, 64, "exact")
+            _, m_packed = _kappa_fwd_call(cloud, nrm, 8, 64, "packed")
+        me, mp = np.asarray(m_exact), np.asarray(m_packed)
+        # random clouds: allow at most a few near-tie swaps
+        assert (me != mp).mean() < 1e-3
+        assert (mp.sum(-1) == 9).all()  # k+1 selected per row, always
+
     def test_multi_block_grad_accumulation(self, rng):
         """Neighbour gradient contributions must accumulate across query
         row blocks (revisited-output pattern)."""
