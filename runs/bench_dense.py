@@ -1,0 +1,92 @@
+"""Dense-cloud attack benchmark (SURVEY §5 scaling axis: n <= 10000).
+
+The headline bench runs at n=1024 where every hot op rides a Pallas kernel.
+Dense source clouds (the reference's modelnet_pure 10000-pt set,
+main_attack.py:213,283-295) run the subsample-opt config: the optimised
+offset lives on the FULL n-point cloud and each step FPS-subsamples
+cfg.npoint=1024 points for the victim, while the geometry losses run at
+full n — where the kappa kernel gate (n <= 4096) and the [b, n, n] mask
+residual bite and composed XLA paths take over.
+
+Usage: python runs/bench_dense.py [n ...]   (default: 5000 10000)
+Emits one BENCH-style JSON line per shape to stdout.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from geoa3_tpu.attack import AttackConfig
+from geoa3_tpu.attack.engine import make_attack_fn
+from geoa3_tpu.data.synthetic import sample_shape
+from geoa3_tpu.models.registry import build_model, make_eval_fn
+
+FULL_BUDGET = 10 * 500
+
+
+def run_dense(n: int, batch: int, steps: int) -> dict:
+    model = build_model("PointNet", classes=40, npoint=1024)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1024, 3)),
+        train=False,
+    )
+    logits_fn = make_eval_fn(model, variables)
+
+    rng = np.random.RandomState(0)
+    clouds, normals = [], []
+    for i in range(batch):
+        p, m = sample_shape(i % 10, n, rng)
+        clouds.append(p)
+        normals.append(m)
+    pc = jnp.asarray(np.stack(clouds))
+    nrm = jnp.asarray(np.stack(normals))
+    gt = jnp.asarray(rng.randint(0, 40, batch))
+
+    cfg = AttackConfig(
+        attack_label="Untarget",
+        classes=40,
+        npoint=1024,           # victim shape; n-pt cloud is subsampled
+        binary_max_steps=1,
+        iter_max_steps=steps,
+        cls_loss_type="CE",
+        dis_loss_type="CD",
+        hd_loss_weight=0.1,
+        curv_loss_weight=1.0,
+        curv_loss_knn=16,
+        is_subsample_opt=True,
+        eval_num=1,
+    )
+    fn = jax.jit(make_attack_fn(logits_fn, cfg))
+    compile_s, ms = bench._measure(fn, (pc, nrm, gt, gt), steps)
+    aps = batch / (ms / 1000 * FULL_BUDGET)
+    return {
+        "metric": "attacks_per_sec_per_chip_dense",
+        "value": round(aps, 4),
+        "unit": f"attacks/s ({n}-pt cloud, subsample-opt 1024-pt PointNet, "
+                "full GeoA3 budget)",
+        "n": n,
+        "batch": batch,
+        "ms_per_step": round(ms, 2),
+        "compile_s": round(compile_s, 1),
+        "kappa_kernel_gated_off": n > 4096 or n % 128 != 0,
+    }
+
+
+if __name__ == "__main__":
+    shapes = [int(a) for a in sys.argv[1:]] or [5000, 10000]
+    steps = int(os.environ.get("GEOA3_BENCH_STEPS", 50))
+    for n in shapes:
+        # batch sized to keep the [b, n, n] distance/mask residuals in HBM
+        b = 8 if n <= 5000 else 4
+        print(json.dumps(run_dense(n, b, steps)), flush=True)
