@@ -227,6 +227,16 @@ def run_mesh(mesh_n, batch_per_chip=None, steps=None, npoint=None) -> dict:
     compile_s, ms_mesh = _measure(fnN, (pc, nrm, gt, gt), steps)
 
     efficiency = ms_single / ms_mesh if ms_mesh > 0 else 0.0
+    # work efficiency: the sharded program's TOTAL device time vs N copies
+    # of the single program. On real chips scaling_efficiency ~ this (each
+    # chip runs in parallel); on the virtual CPU mesh (devices share host
+    # cores — this machine has ONE) wall scaling is meaningless but work
+    # efficiency still catches collective regressions that inflate the
+    # sharded program's total work (e.g. an accidental full-batch
+    # all-gather per step).
+    work_efficiency = (
+        ms_single * mesh_n / ms_mesh if ms_mesh > 0 else 0.0
+    )
     attacks_per_sec = total_b / (ms_mesh / 1000 * FULL_BUDGET_STEPS)
     print(
         f"# mesh={mesh_n} per-chip batch={batch_per_chip} n={npoint} "
@@ -242,6 +252,7 @@ def run_mesh(mesh_n, batch_per_chip=None, steps=None, npoint=None) -> dict:
         "mesh": mesh_n,
         "attacks_per_sec_per_chip": round(attacks_per_sec / mesh_n, 4),
         "scaling_efficiency": round(efficiency, 4),
+        "work_efficiency": round(work_efficiency, 4),
         "vs_baseline": round(attacks_per_sec / BASELINE_ATTACKS_PER_SEC, 2),
         "baseline_is_estimate": True,
         "virtual": virtual,

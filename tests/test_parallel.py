@@ -143,9 +143,16 @@ def test_bench_mesh_harness():
     finally:
         sys.path.pop(0)
 
-    out = bench.run_mesh(8, batch_per_chip=2, steps=2, npoint=64)
+    out = bench.run_mesh(8, batch_per_chip=2, steps=8, npoint=64)
     assert out["metric"] == "attacks_per_sec_scaling"
     assert out["mesh"] == 8
     assert out["value"] > 0
     assert out["virtual"] is True  # CPU smoke, not an ICI measurement
     assert "scaling_efficiency" in out
+    # FLOOR (catches collective regressions on CPU): the sharded program's
+    # total device work must stay comparable to N independent copies —
+    # an accidental per-step full-batch all-gather would crater this.
+    # (Wall-clock scaling_efficiency is meaningless on the virtual mesh:
+    # this host has ONE core, so the 8 virtual devices serialize; measured
+    # work_efficiency here is ~1.1-2.2 across trials, floor set well below.)
+    assert out["work_efficiency"] > 0.5, out
