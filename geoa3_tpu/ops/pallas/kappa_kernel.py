@@ -82,15 +82,26 @@ def _dot_hilo(a, b, dn):
     return f(ah, bh) + (f(ah, bl) + f(al, bh))
 
 
-def _dist_block(q, p):
-    """Squared-distance block [R, m] via the MXU expansion (bit-identical to
-    knn_kernel.py so the selected neighbour set matches knn_points)."""
+def _dist_block(q, p, exact: bool = True):
+    """Squared-distance block [R, m] via the MXU expansion.
+
+    exact=True: HIGHEST (6-pass f32 emulation) — bit-identical to
+    knn_kernel.py so the selected neighbour set matches knn_points.
+    exact=False (packed select only): hi/lo split (3 passes, ~2^-16
+    relative) — strictly finer than the packed mode's own 2^-13 bit
+    quantisation, so it cannot change which near-ties the quantisation
+    already merges; halves the distance MXU work.
+    """
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     p2 = jnp.sum(p * p, axis=-1)[None, :]
-    qp = jax.lax.dot_general(
-        q, p, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
+    dn = (((1,), (1,)), ((), ()))
+    if exact:
+        qp = jax.lax.dot_general(
+            q, p, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+    else:
+        qp = _dot_hilo(q, p, dn)
     return jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
 
 
@@ -109,7 +120,7 @@ def _kappa_fwd_kernel(
     R = q.shape[0]
     m = p.shape[0]
 
-    d0 = _dist_block(q, p)
+    d0 = _dist_block(q, p, exact=(select != "packed"))
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
     growm = (
         jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
