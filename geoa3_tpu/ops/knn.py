@@ -125,12 +125,16 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
     if _pallas_disabled("nn1"):
         pass
     elif _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
-        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
+        from geoa3_tpu.ops.pallas.nn1_kernel import (
+            nn1_dual_pallas,
+            nn1_select_default,
+        )
 
         # larger row blocks amortise per-block overhead (measured sweep at
         # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
         rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
-        return nn1_dual_pallas(adv, ori, row_block=rb)
+        return nn1_dual_pallas(adv, ori, row_block=rb,
+                               select=nn1_select_default())
     d = pairwise_sqdist(adv, ori)
     return (
         jnp.argmin(d, axis=-1).astype(jnp.int32),
@@ -157,12 +161,16 @@ def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
         _pallas_ok(m, 2)
         and (n % 256 == 0 or (n % 8 == 0 and n <= 256))
     ):
-        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_payload_pallas
+        from geoa3_tpu.ops.pallas.nn1_kernel import (
+            nn1_dual_payload_pallas,
+            nn1_select_default,
+        )
 
         # larger row blocks amortise per-block overhead (measured sweep at
         # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
         rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
-        return nn1_dual_payload_pallas(adv, ori, payload, row_block=rb)
+        return nn1_dual_payload_pallas(adv, ori, payload, row_block=rb,
+                                       select=nn1_select_default())
     d = pairwise_sqdist(adv, ori)
     a2o = jnp.argmin(d, axis=-1).astype(jnp.int32)
     o2a = jnp.argmin(d, axis=-2).astype(jnp.int32)

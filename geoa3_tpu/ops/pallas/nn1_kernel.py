@@ -23,37 +23,84 @@ from jax.experimental import pallas as pl
 _INF = 3.4e38
 
 
+def nn1_select_default() -> str:
+    """'exact' (two f32 reductions per argmin, bit-exact lowest-index
+    ties) or 'packed' (GEOA3_NN1_SELECT=packed: ONE int-min reduction per
+    argmin over quantised distance bits with the index packed into the
+    truncated mantissa — near-tie swaps ~2^-13 relative; the losses
+    recompute exact distances from the gathered coordinates, so only
+    WHICH near-tie neighbour is picked can differ)."""
+    import os
+
+    v = os.environ.get("GEOA3_NN1_SELECT", "exact")
+    return v if v in ("exact", "packed") else "exact"
+
+
+def _dist(q, p, exact: bool):
+    """[R, m] squared distances. exact: HIGHEST (bit-exact selection
+    contract); packed mode: hi/lo split (~2^-16, finer than the packed
+    quantisation — see kappa_kernel._dist_block)."""
+    from geoa3_tpu.ops.pallas.kappa_kernel import _dist_block
+
+    return _dist_block(q, p, exact=exact)
+
+
+def _pack(d, idx_plane, bits: int):
+    """Monotone packed keys: truncated nonneg-f32 bit pattern | index."""
+    quant = jnp.int32(-(1 << bits))
+    return jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(d, jnp.int32), quant),
+        idx_plane,
+    )
+
+
 def _nn1_dual_kernel(
-    adv_ref, ori_ref, a2o_ref, o2a_min_ref, o2a_idx_ref, *, R: int
+    adv_ref, ori_ref, a2o_ref, o2a_min_ref, o2a_idx_ref,
+    *, R: int, nblk: int, select: str
 ):
     """adv_ref [1, R, 3]; ori_ref [1, m, 3]; a2o_ref [1, 1, R] int32;
-    o2a_min_ref [1, 1, m] f32 / o2a_idx_ref [1, 1, m] int32 (revisited).
-    Outputs carry a singleton middle dim so the (sublane, lane) block dims
-    satisfy Mosaic's (8, 128)-divisibility rule for any batch size."""
+    o2a_min_ref [1, 1, m] f32|int32 / o2a_idx_ref [1, 1, m] int32
+    (revisited). Outputs carry a singleton middle dim so the (sublane,
+    lane) block dims satisfy Mosaic's (8, 128)-divisibility rule for any
+    batch size."""
     j = pl.program_id(1)
     q = adv_ref[0]  # [R, 3] — this adv row block
     p = ori_ref[0]  # [m, 3]
     m = p.shape[0]
+    n = R * nblk
 
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    p2 = jnp.sum(p * p, axis=-1)[None, :]
-    qp = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)  # [R, m]
+    d = _dist(q, p, exact=(select != "packed"))  # [R, m]
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
+
+    if select == "packed":
+        mb = max(1, (m - 1).bit_length())
+        nb = max(1, (n - 1).bit_length())
+        a2o_ref[0, 0] = jnp.bitwise_and(
+            jnp.min(_pack(d, col, mb), axis=1), (1 << mb) - 1
+        )
+        cpk = jnp.min(_pack(d, row, nb), axis=0)  # [m] packed column mins
+
+        @pl.when(j == 0)
+        def _initp():
+            o2a_min_ref[0, 0] = cpk
+            o2a_idx_ref[0, 0] = jnp.bitwise_and(cpk, (1 << nb) - 1)
+
+        @pl.when(j > 0)
+        def _foldp():
+            best = jnp.minimum(o2a_min_ref[0, 0], cpk)
+            o2a_min_ref[0, 0] = best
+            o2a_idx_ref[0, 0] = jnp.bitwise_and(best, (1 << nb) - 1)
+
+        return
 
     # ---- adv -> ori: plain row argmin (lowest index on ties) ----
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
     rmin = jnp.min(d, axis=1)
     a2o_ref[0, 0] = jnp.min(
         jnp.where(d == rmin[:, None], col, m), axis=1
     ).astype(jnp.int32)
 
     # ---- ori -> adv: column mins folded across row blocks ----
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
     cmin = jnp.min(d, axis=0)  # [m]
     cidx = jnp.min(jnp.where(d == cmin[None, :], row, 1 << 30), axis=0)
 
@@ -72,12 +119,17 @@ def _nn1_dual_kernel(
         o2a_idx_ref[0, 0] = jnp.where(better, cidx.astype(jnp.int32), prev_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("row_block",))
-def nn1_dual_pallas(adv: jax.Array, ori: jax.Array, row_block: int = 256):
+@functools.partial(jax.jit, static_argnames=("row_block", "select"))
+def nn1_dual_pallas(
+    adv: jax.Array, ori: jax.Array, row_block: int = 256,
+    select: str = "exact",
+):
     """adv [b, n, 3], ori [b, m, 3] -> (a2o_idx [b, n], o2a_idx [b, m]) int32.
 
     a2o_idx[i] = argmin_j ||adv_i - ori_j||; o2a_idx[j] = argmin_i likewise.
     Exact; ties break to the lowest index (matches jnp.argmin).
+    select='packed': single-reduction argmins over quantised distance bits
+    (see nn1_select_default).
     """
     b, n, _ = adv.shape
     m = ori.shape[1]
@@ -86,7 +138,9 @@ def nn1_dual_pallas(adv: jax.Array, ori: jax.Array, row_block: int = 256):
     grid = (b, n // R)
 
     a2o, _, o2a = pl.pallas_call(
-        functools.partial(_nn1_dual_kernel, R=R),
+        functools.partial(
+            _nn1_dual_kernel, R=R, nblk=n // R, select=select
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, 3), lambda i, j: (i, j, 0)),
@@ -99,7 +153,10 @@ def nn1_dual_pallas(adv: jax.Array, ori: jax.Array, row_block: int = 256):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, 1, m),
+                jnp.int32 if select == "packed" else jnp.float32,
+            ),
             jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
         ],
     )(adv.astype(jnp.float32), ori.astype(jnp.float32))
@@ -108,7 +165,7 @@ def nn1_dual_pallas(adv: jax.Array, ori: jax.Array, row_block: int = 256):
 
 def _nn1_payload_kernel(
     adv_ref, ori_ref, pay_ref, a2o_ref, gp_ref, o2a_min_ref, o2a_idx_ref,
-    *, R: int
+    *, R: int, nblk: int, select: str
 ):
     """Dual 1-NN + constant-payload gather at the adv->ori argmin.
 
@@ -126,20 +183,19 @@ def _nn1_payload_kernel(
     q = adv_ref[0]  # [R, 3]
     p = ori_ref[0]  # [m, 3]
     m = p.shape[0]
+    n = R * nblk
 
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    p2 = jnp.sum(p * p, axis=-1)[None, :]
-    qp = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)  # [R, m]
+    d = _dist(q, p, exact=(select != "packed"))  # [R, m]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
-    rmin = jnp.min(d, axis=1)
-    first = jnp.min(jnp.where(d == rmin[:, None], col, m), axis=1)  # [R]
+    if select == "packed":
+        mb = max(1, (m - 1).bit_length())
+        first = jnp.bitwise_and(
+            jnp.min(_pack(d, col, mb), axis=1), (1 << mb) - 1
+        )  # [R]
+    else:
+        rmin = jnp.min(d, axis=1)
+        first = jnp.min(jnp.where(d == rmin[:, None], col, m), axis=1)
     a2o_ref[0, 0] = first.astype(jnp.int32)
 
     colT = jax.lax.broadcasted_iota(jnp.int32, (m, R), 0)
@@ -159,6 +215,23 @@ def _nn1_payload_kernel(
     gp_ref[0] = acc  # [8, R]
 
     row = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
+    if select == "packed":
+        nb = max(1, (n - 1).bit_length())
+        cpk = jnp.min(_pack(d, row, nb), axis=0)
+
+        @pl.when(j == 0)
+        def _initp():
+            o2a_min_ref[0, 0] = cpk
+            o2a_idx_ref[0, 0] = jnp.bitwise_and(cpk, (1 << nb) - 1)
+
+        @pl.when(j > 0)
+        def _foldp():
+            best = jnp.minimum(o2a_min_ref[0, 0], cpk)
+            o2a_min_ref[0, 0] = best
+            o2a_idx_ref[0, 0] = jnp.bitwise_and(best, (1 << nb) - 1)
+
+        return
+
     cmin = jnp.min(d, axis=0)
     cidx = jnp.min(jnp.where(d == cmin[None, :], row, 1 << 30), axis=0)
 
@@ -176,15 +249,17 @@ def _nn1_payload_kernel(
         o2a_idx_ref[0, 0] = jnp.where(better, cidx.astype(jnp.int32), prev_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("row_block",))
+@functools.partial(jax.jit, static_argnames=("row_block", "select"))
 def nn1_dual_payload_pallas(
     adv: jax.Array, ori: jax.Array, payload: jax.Array,
-    row_block: int = 256,
+    row_block: int = 256, select: str = "exact",
 ):
     """adv [b, n, 3], ori [b, m, 3], payload [b, 8, m] (constant planes) ->
     (a2o_idx [b, n], o2a_idx [b, m], gathered payload [b, 8, n]).
 
-    gathered[b, p, i] = payload[b, p, a2o_idx[b, i]] — exact f32 copies.
+    gathered[b, p, i] = payload[b, p, a2o_idx[b, i]] — exact f32 copies
+    (the one-hot build consumes whichever argmin `select` produced, so the
+    copies stay exact in packed mode too).
     """
     b, n, _ = adv.shape
     m = ori.shape[1]
@@ -193,7 +268,9 @@ def nn1_dual_payload_pallas(
     grid = (b, n // R)
 
     a2o, gp, _, o2a = pl.pallas_call(
-        functools.partial(_nn1_payload_kernel, R=R),
+        functools.partial(
+            _nn1_payload_kernel, R=R, nblk=n // R, select=select
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, 3), lambda i, j: (i, j, 0)),
@@ -209,7 +286,10 @@ def nn1_dual_payload_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
             jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, 1, m),
+                jnp.int32 if select == "packed" else jnp.float32,
+            ),
             jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
         ],
     )(

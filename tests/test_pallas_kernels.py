@@ -142,6 +142,38 @@ class TestNN1DualKernel:
         np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
         np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
 
+    def test_packed_select_matches_argmin(self, rng):
+        """GEOA3_NN1_SELECT=packed: single-reduction argmins over quantised
+        bits — on random (tie-free at 2^-13) data the indices must match the
+        exact argmin."""
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_pallas
+
+        adv = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            a2o, o2a = nn1_dual_pallas(adv, ori, row_block=32, select="packed")
+        d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
+        assert (np.asarray(a2o) == d.argmin(-1)).mean() > 0.999
+        assert (np.asarray(o2a) == d.argmin(-2)).mean() > 0.999
+
+    def test_packed_payload_matches(self, rng):
+        from geoa3_tpu.ops.pallas.nn1_kernel import nn1_dual_payload_pallas
+
+        adv = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+        pay = jnp.asarray(rng.randn(2, 8, 96).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            a2o, o2a, gp = nn1_dual_payload_pallas(
+                adv, ori, pay, row_block=32, select="packed"
+            )
+        d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
+        assert (np.asarray(a2o) == d.argmin(-1)).mean() > 0.999
+        # payload copies are exact at whatever index the select picked
+        want = np.take_along_axis(
+            np.asarray(pay), np.asarray(a2o)[:, None, :], axis=-1
+        )
+        np.testing.assert_array_equal(np.asarray(gp), want)
+
 
 class TestScatterNC:
     def test_nc_scatter_matches_xla(self, rng):
