@@ -562,9 +562,9 @@ class TestKappaKernelEnginePath:
         calls = []
         real = kappa_kernel.kappa_pallas
 
-        def spy(cloud, nrm, k, rb):
+        def spy(cloud, nrm, k, rb, select="exact"):
             calls.append((k, rb))
-            return real(cloud, nrm, k, rb)
+            return real(cloud, nrm, k, rb, select)
 
         monkeypatch.setattr(kappa_kernel, "kappa_pallas", spy)
         with pltpu.force_tpu_interpret_mode():
