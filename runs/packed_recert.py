@@ -16,8 +16,15 @@ import os
 import sys
 import time
 
-os.environ["GEOA3_KAPPA_SELECT"] = "packed"
-os.environ["GEOA3_NN1_SELECT"] = "packed"
+# argv[1]: which selects ride packed — both (default) | kappa | nn1.
+# Isolation runs attribute the measured CD/HD quality cost (the 'both'
+# run certified 100% success but CD +24% / HD +62% vs exact) to a mode.
+MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
+_IDS = {"both": "7", "kappa": "8", "nn1": "9"}
+if MODE in ("both", "kappa"):
+    os.environ["GEOA3_KAPPA_SELECT"] = "packed"
+if MODE in ("both", "nn1"):
+    os.environ["GEOA3_NN1_SELECT"] = "packed"
 
 os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "flagship"))
 sys.path.insert(0, "/root/repo")
@@ -33,13 +40,13 @@ from geoa3_tpu.cli.main_attack import build_parser as ap, main as attack_main
 assert os.path.isfile("Data/modelnet10_250instances1024_PointNet.mat"), (
     "run runs/flagship_run.py first"
 )
-# experiment id 7 keeps this separate from the exact-mode dir (id 0)
+# experiment ids 7/8/9 keep these separate from the exact-mode dir (id 0)
 aargs = ap().parse_args([
     "--attack", "GeoA3", "--attack_label", "Untarget",
     "--data_dir_file", "Data/modelnet10_250instances1024_PointNet.mat",
     "--npoint", "1024",
     "--binary_max_steps", "10", "--iter_max_steps", "500",
-    "-b", "25", "--id", "7",
+    "-b", "25", "--id", _IDS[MODE],
     "--checkpoint", "Pretrained/PointNet/1024",
 ])
 saved_dir = attack_main(aargs)

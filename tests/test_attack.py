@@ -182,6 +182,32 @@ class TestAttackCore:
         assert res.best_attack.shape == pc.shape  # full-size cloud retained
         assert np.isfinite(np.asarray(res.all_loss)).all()
 
+    def test_dense_cloud_path(self, rng):
+        """Pin the dense-cloud (BASELINE config 3) path: subsample-opt with
+        a source cloud whose point count fails every Pallas kappa/nn gate
+        (n not 128-divisible, and at real dense shapes n > 4096 —
+        kappa_kernel.py gate), so the geometry losses ride the composed XLA
+        fallbacks at full n while the victim sees cfg.npoint points
+        (reference main_attack.py:213,283-295). runs/bench_dense.py measures
+        the same config on TPU at n = 5000/10000."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas_available
+
+        # the real dense shapes are shape-gated off the fused kappa kernel
+        # regardless of backend (gate checks shape before platform)
+        assert not kappa_pallas_available(5000)   # 5000 % 128 != 0
+        assert not kappa_pallas_available(10000)  # > 4096
+
+        logits_fn, pc, normal, gt = make_batch(rng, n=100)  # 100 % 128 != 0
+        kw = dict(BASE)
+        kw.update(npoint=48, is_subsample_opt=True, eval_num=1,
+                  iter_max_steps=20)
+        cfg = AttackConfig(attack_label="Untarget", **kw)
+        res = attack(logits_fn, pc, normal, gt, gt, cfg, jax.random.PRNGKey(7))
+        assert res.best_attack.shape == pc.shape  # offsets live at full n
+        assert np.isfinite(np.asarray(res.all_loss)).all()
+        # the optimiser must actually perturb the full dense cloud
+        assert np.abs(np.asarray(res.best_attack) - pc).sum() > 0
+
 
 class TestProjectionHelpers:
     def test_offset_proj_projects_onto_normals(self, rng):
