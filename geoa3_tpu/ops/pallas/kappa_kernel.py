@@ -151,19 +151,22 @@ def _kappa_fwd_kernel(
             ),
             col,
         )
+        # imax is unreachable as a live key: finite f32 bits <= 0x7F7FFFFF
+        # and the or'ed index adds < 2^idx_bits below that, so pkm == imax
+        # marks EXACTLY the knocked-out (and pre-masked self) columns — the
+        # membership mask is derived once at the end instead of carrying a
+        # boolean mask and paying a logical_or pass every round (3 full
+        # [R, m] passes per round instead of 4).
         imax = jnp.int32(2**31 - 1)
 
-        def body_packed(j, carry):
-            pkm, mask = carry
+        def body_packed(j, pkm):
             best = jnp.min(pkm, axis=-1)
-            sel = pk0 == best[:, None]
-            return jnp.where(sel, imax, pkm), jnp.logical_or(mask, sel)
+            return jnp.where(pkm == best[:, None], imax, pkm)
 
-        _, maskb = jax.lax.fori_loop(
-            0, k, body_packed, (jnp.where(diag, imax, pk0), diag),
-            unroll=True,
+        pkm = jax.lax.fori_loop(
+            0, k, body_packed, jnp.where(diag, imax, pk0), unroll=True,
         )
-        maskf = maskb.astype(jnp.float32)
+        maskf = (pkm == imax).astype(jnp.float32)
     else:
         # carry only the boolean knockout mask and re-mask the immutable d0
         # each round: the [R, m] f32 distance carry (and its per-round
