@@ -463,13 +463,15 @@ def ball_query_group_available(n: int, m: int, ns: int, cf: int) -> bool:
         return False
     if n % 128 or n > 4096:
         return False
-    if cf and cf % 128 and cf != 320:
-        # every feature block spans the FULL cf axis (Mosaic allows an
-        # unaligned trailing dim only when the block covers the whole
-        # axis), so the one measured lane-unaligned victim width — MSG
-        # SA2's cf=320 — is admitted explicitly; round 3's alternative
-        # (zero-padding 320->384 in HBM) measured slower than the
-        # whole-SA fallback this gate previously forced
+    if cf and cf % 128:
+        # cf=320 (MSG SA2) DOES lower — the gf blocks span the full cf
+        # axis, so Mosaic's full-trailing-dim rule admits it, and the
+        # selfcheck passed on it — but it measured a round-trip LOSS:
+        # 10.54 vs 9.49 ms/step (MSG b=10, runs/profile_pnpp.py, round 4).
+        # The split pipeline materialises [b, m, ns, 320] grouped features
+        # in HBM for three scale levels (fwd + bwd re-reads), which is
+        # exactly what the whole-SA fallback avoids; same verdict as
+        # round 3's pad-to-384 experiment (11.15 vs 10.13).
         return False
     gbm = _pick_gbm(m, ns, cf)
     return _cb(gbm, ns) > 0

@@ -418,9 +418,9 @@ def group_mlp_available(
     # full axis (single grid step, m == gpt)
     if (ns * gpt) % 128 != 0 and m != gpt:
         return False
-    if cf and cf % 128 != 0 and cf != 320:
-        # gf blocks span the full cf axis, so Mosaic's full-trailing-dim
-        # rule admits the one lane-unaligned victim width (MSG SA2 cf=320;
-        # see ball_query_group_available)
+    if cf and cf % 128 != 0:
+        # cf=320 lowers fine (full-trailing-dim blocks) but the split
+        # pipeline measured a loss at MSG SA2 — see the matching gate in
+        # ball_query_group_available for the numbers
         return False
     return all(w <= 1024 for w in mlp_widths)
