@@ -38,6 +38,18 @@ here for the parity audit):
      to ~1e-3 relative, not bitwise (loss_utils.py:70-85 semantics
      preserved; e2e success/CD/HD re-certified in RESULTS.md). Off-TPU the
      composed bit-exact path runs.
+  6. On TPU, the chamfer/Hausdorff 1-NN argmins default to PACKED
+     single-reduction selection (ops/pallas/nn1_kernel.py,
+     GEOA3_NN1_SELECT): distance keys quantised to ~2^-13 relative with
+     the lane index packed into the truncated mantissa, so near-tie
+     nearest neighbours can swap vs the reference's exact argmin
+     (loss_utils.py:32-58 semantics). The loss VALUE is recomputed exactly
+     from the chosen coordinates; e2e recert measured IDENTICAL quality to
+     exact mode (250/250, CD/HD unchanged — RESULTS.md round-4 table) at
+     ~3% step-time win. GEOA3_NN1_SELECT=exact restores bit-exact
+     selection. (The analogous kappa-packed mode measurably degrades CD/HD
+     and stays opt-in: it changes the curvature statistic's membership
+     mask, not just a gather index.)
 """
 
 from __future__ import annotations

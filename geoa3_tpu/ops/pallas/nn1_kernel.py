@@ -24,16 +24,25 @@ _INF = 3.4e38
 
 
 def nn1_select_default() -> str:
-    """'exact' (two f32 reductions per argmin, bit-exact lowest-index
-    ties) or 'packed' (GEOA3_NN1_SELECT=packed: ONE int-min reduction per
-    argmin over quantised distance bits with the index packed into the
-    truncated mantissa — near-tie swaps ~2^-13 relative; the losses
-    recompute exact distances from the gathered coordinates, so only
-    WHICH near-tie neighbour is picked can differ)."""
+    """'packed' (DEFAULT: ONE int-min reduction per argmin over quantised
+    distance bits with the index packed into the truncated mantissa —
+    near-tie swaps ~2^-13 relative; the losses recompute exact distances
+    from the gathered coordinates, so only WHICH near-tie neighbour is
+    picked can differ) or 'exact' (GEOA3_NN1_SELECT=exact: two f32
+    reductions per argmin, bit-exact lowest-index ties).
+
+    Packed became the default in round 4 after the isolation e2e recert
+    measured IDENTICAL perturbation quality to exact (250/250 success,
+    CD 0.00236 vs 0.00236, HD 0.01175 vs 0.0119 — runs/packed_recert.py
+    nn1 arm) at 4.03 -> 3.91 ms/step on the PointNet attack (unlike
+    kappa-packed, which costs measurable CD/HD and stays opt-in: the 1-NN
+    selection feeds only the chamfer/HD gather, whose loss value is
+    recomputed exactly from the chosen coordinates, while the kappa mask
+    changes the curvature statistic itself)."""
     import os
 
-    v = os.environ.get("GEOA3_NN1_SELECT", "exact")
-    return v if v in ("exact", "packed") else "exact"
+    v = os.environ.get("GEOA3_NN1_SELECT", "packed")
+    return v if v in ("exact", "packed") else "packed"
 
 
 def _dist(q, p, exact: bool):
