@@ -168,23 +168,26 @@ def _kappa_fwd_kernel(
         )
         maskf = (pkm == imax).astype(jnp.float32)
     else:
-        # carry only the boolean knockout mask and re-mask the immutable d0
-        # each round: the [R, m] f32 distance carry (and its per-round
-        # rewrite) disappears from the loop. Measured 2.43 -> 2.41 ms
-        # fwd+bwd at the attack shape (runs/bench_kappa_rb.py; rb 256/1024
-        # re-swept worse at 2.46/2.69) — the loop is reduction-bound, not
-        # carry-bound, so this is parity kept for the smaller carry.
-        # Selected set is bitwise identical (same masked argmin over the
-        # same INF positions, same lowest-index tie-break).
-        def body(j, mask):
-            dm = jnp.where(mask, _INF, d0)
+        # carry the f32 distance matrix with INF knockouts and derive the
+        # membership mask ONCE at loop end (dm == _INF, unreachable as a
+        # live d0 value), so neither the per-round re-mask of d0 nor a
+        # per-round mask `or` pass exists: each round is 2 reductions + 2
+        # elementwise passes. (History: a bool-mask carry with per-round
+        # re-mask measured parity with the original dm carry, 2.43 vs
+        # 2.41 ms fwd+bwd — but that variant still paid re-mask + or; the
+        # packed mode's round-4 mask-at-end restructure measured
+        # 3.85 -> 3.32 ms/step at the attack shape, and this is the same
+        # restructure for the exact path.) Selected set is bitwise
+        # identical: same masked argmin, same lowest-index tie-break.
+        def body(j, dm):
             vals = jnp.min(dm, axis=-1)
             first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
-            return jnp.logical_or(mask, col == first[:, None])
+            return jnp.where(col == first[:, None], _INF, dm)
 
-        maskf = jax.lax.fori_loop(0, k, body, diag, unroll=True).astype(
-            jnp.float32
+        dmf = jax.lax.fori_loop(
+            0, k, body, jnp.where(diag, _INF, d0), unroll=True
         )
+        maskf = (dmf == _INF).astype(jnp.float32)
 
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
     # matmul; the center term q_i.n_i is the matrix's own diagonal (extracted
