@@ -112,6 +112,22 @@ def _plane_gather_bwd(res, ct):
 _plane_gather.defvjp(_plane_gather_fwd, _plane_gather_bwd)
 
 
+def _nn1_rb(n: int, m: int) -> int:
+    """Row block for the dual-1NN kernels: the sweep-measured 1024 at the
+    headline [n=1024, m=1024] shape (runs/bench_nn1_rb.py), shrunk when
+    the ori side is dense so the ~5 live [R, m] f32 tiles (+ the [m, R]
+    one-hot in the payload kernel) fit scoped VMEM — n=1024 x m=5000 at
+    R=1024 OOMed the Mosaic stack at 47.9M vs the 20.7M limit (dense
+    subsample-opt attack, runs/bench_dense.py). Budget R*m <= 2^20
+    elements: exactly the headline shape's proven-to-compile product."""
+    budget = 1 << 20
+    cands = [r for r in (1024, 512, 256, 128, 64, 32, 16, 8) if r <= n]
+    for r in cands:
+        if n % r == 0 and r * m <= budget:
+            return r
+    return next((r for r in cands if n % r == 0), n)
+
+
 def nn1_dual(adv: jax.Array, ori: jax.Array):
     """Both 1-NN directions at once: (a2o_idx [b, n], o2a_idx [b, m]).
 
@@ -130,10 +146,7 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
             nn1_select_default,
         )
 
-        # larger row blocks amortise per-block overhead (measured sweep at
-        # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
-        rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
-        return nn1_dual_pallas(adv, ori, row_block=rb,
+        return nn1_dual_pallas(adv, ori, row_block=_nn1_rb(n, m),
                                select=nn1_select_default())
     d = pairwise_sqdist(adv, ori)
     return (
@@ -166,10 +179,8 @@ def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
             nn1_select_default,
         )
 
-        # larger row blocks amortise per-block overhead (measured sweep at
-        # [32, 1024]: 1024 -> 0.388 ms vs 256 -> 0.426; runs/bench_nn1_rb.py)
-        rb = next((r for r in (1024, 512, 256) if n % r == 0), n)
-        return nn1_dual_payload_pallas(adv, ori, payload, row_block=rb,
+        return nn1_dual_payload_pallas(adv, ori, payload,
+                                       row_block=_nn1_rb(n, m),
                                        select=nn1_select_default())
     d = pairwise_sqdist(adv, ori)
     a2o = jnp.argmin(d, axis=-1).astype(jnp.int32)

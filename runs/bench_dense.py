@@ -35,6 +35,24 @@ from geoa3_tpu.models.registry import build_model, make_eval_fn
 FULL_BUDGET = 10 * 500
 
 
+def _make_fn(logits_fn, steps: int):
+    cfg = AttackConfig(
+        attack_label="Untarget",
+        classes=40,
+        npoint=1024,           # victim shape; n-pt cloud is subsampled
+        binary_max_steps=1,
+        iter_max_steps=steps,
+        cls_loss_type="CE",
+        dis_loss_type="CD",
+        hd_loss_weight=0.1,
+        curv_loss_weight=1.0,
+        curv_loss_knn=16,
+        is_subsample_opt=True,
+        eval_num=1,
+    )
+    return jax.jit(make_attack_fn(logits_fn, cfg))
+
+
 def run_dense(n: int, batch: int, steps: int) -> dict:
     model = build_model("PointNet", classes=40, npoint=1024)
     variables = model.init(
@@ -53,23 +71,22 @@ def run_dense(n: int, batch: int, steps: int) -> dict:
     nrm = jnp.asarray(np.stack(normals))
     gt = jnp.asarray(rng.randint(0, 40, batch))
 
-    cfg = AttackConfig(
-        attack_label="Untarget",
-        classes=40,
-        npoint=1024,           # victim shape; n-pt cloud is subsampled
-        binary_max_steps=1,
-        iter_max_steps=steps,
-        cls_loss_type="CE",
-        dis_loss_type="CD",
-        hd_loss_weight=0.1,
-        curv_loss_weight=1.0,
-        curv_loss_knn=16,
-        is_subsample_opt=True,
-        eval_num=1,
-    )
-    fn = jax.jit(make_attack_fn(logits_fn, cfg))
-    compile_s, ms = bench._measure(fn, (pc, nrm, gt, gt), steps)
-    aps = batch / (ms / 1000 * FULL_BUDGET)
+    # The dense prologue is NOT per-step work: kappa_ori runs ONE
+    # [b, n, n] kNN (an XLA top_k sort — 373 ms at n=10000, 68% of a
+    # 50-step trace) before the attack scan, exactly like the reference
+    # computes _get_kappa_ori once per batch (geoA3_attack.py:116-124).
+    # A single T(steps)/steps division smears it: two scan lengths give
+    # the honest split T(s) = prologue + s * per_step, and the headline
+    # extrapolates to the full 5000-step budget where the prologue
+    # amortises to ~2%.
+    s1, s2 = steps, steps * 4
+    fn1 = _make_fn(logits_fn, s1)
+    fn2 = _make_fn(logits_fn, s2)
+    compile_s, t1 = bench._measure(fn1, (pc, nrm, gt, gt), 1)
+    _, t2 = bench._measure(fn2, (pc, nrm, gt, gt), 1)
+    per_step = (t2 - t1) / (s2 - s1)
+    prologue = max(t1 - s1 * per_step, 0.0)
+    aps = batch / ((prologue + per_step * FULL_BUDGET) / 1000)
     return {
         "metric": "attacks_per_sec_per_chip_dense",
         "value": round(aps, 4),
@@ -77,7 +94,8 @@ def run_dense(n: int, batch: int, steps: int) -> dict:
                 "full GeoA3 budget)",
         "n": n,
         "batch": batch,
-        "ms_per_step": round(ms, 2),
+        "ms_per_step": round(per_step, 2),
+        "prologue_ms": round(prologue, 1),
         "compile_s": round(compile_s, 1),
         "kappa_kernel_gated_off": n > 4096 or n % 128 != 0,
     }

@@ -235,3 +235,21 @@ class TestTopkBackends:
         d = ((adv[:, :, None] - ori[:, None]) ** 2).sum(-1)
         np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
         np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
+
+    def test_nn1_row_block_bounds_vmem(self):
+        """Dense ori sides must shrink the dual-1NN row block: n=1024 x
+        m=5000 at R=1024 OOMed Mosaic's scoped-VMEM stack (47.9M vs the
+        20.7M limit, runs/bench_dense.py round 4). The chooser keeps the
+        sweep-measured R=1024 at the headline [1024, 1024] shape and
+        bounds R*m by that shape's proven-to-compile product elsewhere."""
+        from geoa3_tpu.ops.knn import _nn1_rb
+
+        assert _nn1_rb(1024, 1024) == 1024  # headline: measured optimum
+        for n in (256, 512, 1024, 2048):
+            for m in (1024, 2500, 5000, 10000, 30000):
+                rb = _nn1_rb(n, m)
+                assert n % rb == 0
+                assert rb * m <= (1 << 20) or rb == min(
+                    r for r in (1024, 512, 256, 128, 64, 32, 16, 8)
+                    if r <= n and n % r == 0
+                )
