@@ -114,14 +114,37 @@ def check_nn1(rng):
 
     a2o_k, o2a_k, gp_k = jax.jit(ops.nn1_dual_payload)(adv, ori, pay)
     a2o_o, o2a_o, gp_o = _pinned_hi(ops.nn1_dual_payload)(adv, ori, pay)
-    m_a2o = float((np.asarray(a2o_k) != np.asarray(a2o_o)).mean())
+    ak, ao = np.asarray(a2o_k), np.asarray(a2o_o)
+    m_a2o = float((ak != ao).mean())
     m_o2a = float((np.asarray(o2a_k) != np.asarray(o2a_o)).mean())
-    gp = float(np.abs(np.asarray(gp_k) - np.asarray(gp_o)).max())
-    # payload copies are exact per the kernel contract; index mismatches
-    # can only be near-ties between the two distance formulations
+    # the kernel contract has two parts (nn1_kernel.py docstrings):
+    # 1. payload copies are EXACT for whichever index the kernel picked —
+    #    so compare payloads only where the indices agree;
+    # 2. index mismatches can only be near-ties: the packed default
+    #    truncates the distance key at 2^-13-relative buckets (x2 for the
+    #    mantissa ratio across a bucket), and this host check recomputes
+    #    distances as DIRECT differences while the kernel decides in
+    #    expansion space (q2+p2-2qp), whose cancellation on near-zero
+    #    distances loosens the comparison further — so bound the two
+    #    picks' distance disagreement at 2^-11 relative (measured
+    #    2.54e-4 on the standard draw). The binding certification is the
+    #    e2e recert (identical CD/HD, RESULTS.md round-4 table); this
+    #    check pins the MECHANISM (ties, not wrong selections).
+    agree = (ak == ao)[:, None, :]  # [b, 1, n] -> broadcast over planes
+    gp = float(
+        (np.abs(np.asarray(gp_k) - np.asarray(gp_o)) * agree).max()
+    )
+    advn, orin = np.asarray(adv), np.asarray(ori)
+    bidx = np.arange(advn.shape[0])[:, None]
+    d_k = ((advn - orin[bidx, ak]) ** 2).sum(-1)
+    d_o = ((advn - orin[bidx, ao]) ** 2).sum(-1)
+    tie_rel = float(
+        (np.abs(d_k - d_o) / np.maximum(d_o, 1e-12))[~(ak == ao)].max()
+    ) if m_a2o else 0.0
     return {"a2o_mismatch_frac": m_a2o, "o2a_mismatch_frac": m_o2a,
-            "payload_max_diff": gp,
-            "ok": m_a2o < 1e-3 and m_o2a < 1e-3 and gp < 1e-3}
+            "payload_max_diff_on_agree": gp, "mismatch_tie_rel": tie_rel,
+            "ok": m_a2o < 1e-3 and m_o2a < 1e-3 and gp < 1e-3
+            and tie_rel < 2 ** -11}
 
 
 @check("scatter")
