@@ -128,6 +128,7 @@ def forward_losses(
     scale_const: jax.Array,
     cfg: AttackConfig,
     self_idx: Optional[jax.Array] = None,
+    kappa_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, _Aux]:
     """One loss evaluation (reference `_forward_step`, geoA3_attack.py:100-180).
 
@@ -209,7 +210,13 @@ def forward_losses(
         # coords come from the Pallas kNN kernel, or — with
         # curv_knn_refresh_every > 1 — from a gather at cached indices
         normal = jnp.stack([gp[:, 3], gp[:, 4], gp[:, 5]], axis=-1)
-        if self_idx is not None:
+        if kappa_mask is not None:
+            # cached selection MASK (kappa-kernel lazy path): the knockout
+            # loop ran once per refresh block in the outer scan; this step
+            # pays only the A matrix + masked reduction (+ the same
+            # analytic backward, which always consumed just the mask)
+            adv_kappa = ops.knn_kappa_from_mask(input_curr, normal, kappa_mask, k)
+        elif self_idx is not None:
             nn_pts = ops.knn_gather(input_curr, self_idx[..., 1:])
             vectors = nn_pts - input_curr[:, :, None, :]
             vectors = vectors / jnp.maximum(
@@ -341,6 +348,12 @@ def make_attack_fn(
             and cfg.curv_knn_refresh_every > 1
             and not subsample  # subsampled clouds change point sets per step
         )
+        # With the fused kappa kernel available, the lazy cache is the
+        # selection MASK (the kernel backward's only selection input) and
+        # the inner steps run the mask-consuming forward — no knockout
+        # loop, no index gather. Otherwise cache kNN indices + gather
+        # (the composed path). Trace-time decision like every kernel gate.
+        lazy_mask = lazy_knn and ops.kappa_mask_path_available(n)
 
         def loss_of_offset(
             offset, periodical_pc, jitter_noise, scale_const, fps_key, self_idx
@@ -363,7 +376,8 @@ def make_attack_fn(
                 target,
                 scale_const,
                 cfg,
-                self_idx=self_idx if lazy_knn else None,
+                self_idx=self_idx if (lazy_knn and not lazy_mask) else None,
+                kappa_mask=self_idx if lazy_mask else None,
             )
 
         grad_fn = jax.value_and_grad(loss_of_offset, has_aux=True)
@@ -463,11 +477,12 @@ def make_attack_fn(
             it_score0 = jnp.full((b,), -1, jnp.int32)
             n_jit = cfg.npoint if subsample else n
             jitter0 = jnp.zeros((b, n_jit, 3), pc_ori.dtype)
-            self_idx0 = (
-                jnp.zeros((b, n, cfg.curv_loss_knn + 1), jnp.int32)
-                if lazy_knn
-                else jnp.zeros((), jnp.int32)  # placeholder carry leaf
-            )
+            if lazy_mask:
+                self_idx0 = jnp.zeros((b, n, n), jnp.int8)
+            elif lazy_knn:
+                self_idx0 = jnp.zeros((b, n, cfg.curv_loss_knn + 1), jnp.int32)
+            else:
+                self_idx0 = jnp.zeros((), jnp.int32)  # placeholder carry leaf
             carry0 = (
                 offset0, opt_state0, best, it_loss0, it_score0, jitter0,
                 self_idx0, k_scan,
@@ -485,9 +500,14 @@ def make_attack_fn(
                     input_all = jax.lax.stop_gradient(
                         periodical_pc + carry[0]
                     )
-                    self_idx = ops.knn_points(
-                        input_all, input_all, k=cfg.curv_loss_knn + 1
-                    ).idx
+                    if lazy_mask:
+                        self_idx = ops.kappa_select_mask(
+                            input_all, cfg.curv_loss_knn
+                        )
+                    else:
+                        self_idx = ops.knn_points(
+                            input_all, input_all, k=cfg.curv_loss_knn + 1
+                        ).idx
                     carry = carry[:6] + (self_idx,) + carry[7:]
                     return jax.lax.scan(
                         lambda c, i: inner_step(c, blk * K + i),

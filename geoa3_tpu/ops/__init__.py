@@ -17,6 +17,9 @@ from geoa3_tpu.ops.knn import (
     knn_points_planes,
     knn_gather,
     knn_kappa,
+    knn_kappa_from_mask,
+    kappa_select_mask,
+    kappa_mask_path_available,
     gather_rows3,
     nn1_dual,
     nn1_dual_payload,
@@ -40,6 +43,9 @@ __all__ = [
     "knn_points_planes",
     "knn_gather",
     "knn_kappa",
+    "knn_kappa_from_mask",
+    "kappa_select_mask",
+    "kappa_mask_path_available",
     "gather_rows3",
     "nn1_dual",
     "nn1_dual_payload",

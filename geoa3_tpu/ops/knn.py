@@ -407,6 +407,89 @@ def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
     ).mean(axis=-1)
 
 
+def kappa_mask_path_available(n: int) -> bool:
+    """True when the engine's lazy curvature refresh should cache the kappa
+    selection MASK (and run the mask-consuming Pallas forward) instead of
+    caching kNN indices + gathering. Mirrors knn_kappa's kernel gate."""
+    if _pallas_disabled("kappa"):
+        return False
+    from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas_available
+
+    return kappa_pallas_available(n)
+
+
+def kappa_select_mask(cloud: jax.Array, k: int) -> jax.Array:
+    """Self-kNN membership mask: cloud [b, n, 3] -> [b, n, n] int8 with k+1
+    ones per row — the pre-selected self column plus the k nearest non-self
+    neighbours, lowest-index tie-break (the kappa kernel's selection,
+    reference semantics Lib/loss_utils.py:70-78). Non-differentiable."""
+    cloud = jax.lax.stop_gradient(cloud)
+    n = cloud.shape[-2]
+    if not _pallas_disabled("kappa"):
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _pick_row_block,
+            kappa_pallas_available,
+            kappa_select_default,
+            kappa_selmask_call,
+        )
+
+        if kappa_pallas_available(n):
+            return kappa_selmask_call(
+                cloud, k, _pick_row_block(n), kappa_select_default()
+            )
+    # composed: force self strictly first (d = -1 < every real distance),
+    # then top_k smallest — XLA top_k keeps the lower index on equal values,
+    # matching the knockout loop's tie rule
+    d = pairwise_sqdist(cloud, cloud)
+    diag = jnp.eye(n, dtype=bool)[None]
+    d = jnp.where(diag, -1.0, d)
+    _, idx = jax.lax.top_k(-d, k + 1)
+    return (
+        jax.nn.one_hot(idx, n, dtype=jnp.int8).sum(axis=2).astype(jnp.int8)
+    )
+
+
+def knn_kappa_from_mask(
+    cloud: jax.Array, normal: jax.Array, mask: jax.Array, k: int
+) -> jax.Array:
+    """Curvature proxy with a CACHED neighbour-membership mask: cloud
+    [b, n, 3], normal [b, n, 3] (loss constants), mask [b, n, n] int8 (from
+    kappa_select_mask) -> kappa [b, n].
+
+    kappa_i = sum_j mask_ij |unit(p_j - p_i) . n_i| / k (the self column
+    contributes exactly zero). Used by the engine's curv_knn_refresh_every
+    nested scan: the selection loop runs once per refresh block and this
+    forward skips it entirely. On TPU one Pallas kernel whose backward is
+    the SAME analytic mask-weighted matmuls as knn_kappa; elsewhere a
+    composed masked reduction (O(n^2) matrices, test shapes only)."""
+    normal = jax.lax.stop_gradient(normal)
+    n = cloud.shape[-2]
+    if not _pallas_disabled("kappa"):
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _pick_row_block,
+            kappa_frommask_pallas,
+            kappa_pallas_available,
+        )
+
+        if kappa_pallas_available(n):
+            return kappa_frommask_pallas(
+                cloud, normal, mask, k, _pick_row_block(n)
+            )
+    # composed fallback (expansion distances like the kernel; the direct-
+    # difference oracle lives in the tests): dot_ij = p_j.n_i - p_i.n_i.
+    # The center term is pn's own diagonal (bitwise-equal values), so the
+    # self column's numerator is exactly zero like the kernel's.
+    pn = jnp.einsum("bic,bjc->bij", normal, cloud)
+    sdiag = jnp.diagonal(pn, axis1=1, axis2=2)
+    d = pairwise_sqdist(cloud, cloud)
+    # sqrt(0) has an infinite derivative; gate coincident/self pairs out of
+    # the sqrt so the masked-out branch cannot poison the gradient with nan
+    safe = d > 0
+    r = jnp.where(safe, jnp.sqrt(jnp.where(safe, d, 1.0)), 0.0)
+    a = jnp.abs(pn - sdiag[:, :, None]) / jnp.maximum(r, 1e-12)
+    return jnp.sum(mask.astype(cloud.dtype) * a, axis=-1) / k
+
+
 def knn_points(query: jax.Array, points: jax.Array, k: int) -> KNNResult:
     """k nearest neighbours of `query` in `points`.
 

@@ -105,34 +105,11 @@ def _dist_block(q, p, exact: bool = True):
     return jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
 
 
-def _kappa_fwd_kernel(
-    q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int, select: str
-):
-    """q_ref [1, R, 3] (row block), p_ref [1, m, 3] (full cloud, == q),
-    nrm_ref [1, R, 3] (borrowed normals); kappa_ref [1, 1, R] f32 (the
-    singleton middle dim satisfies Mosaic's (8, 128) block-divisibility rule
-    for per-row outputs), mask_ref [1, R, m] int8 (the k+1 selected columns
-    per row, incl. self).
-    """
-    q = q_ref[0]
-    p = p_ref[0]
-    nv = nrm_ref[0]
-    R = q.shape[0]
-    m = p.shape[0]
-
-    d0 = _dist_block(q, p, exact=(select != "packed"))
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
-    growm = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
-    )
-
-    # the self column is always in the reference's top-(k+1) (d_ii ~ 0 and
-    # exact duplicates produce bit-equal distances, so the selected SET is
-    # unchanged): pre-select it and run only k argmin rounds. Its kappa
-    # contribution is exactly zero (see sdiag below), mirroring the
-    # reference's slot-0 drop.
-    diag = col == growm
-
+def _select_maskf(d0, diag, col, m: int, k: int, select: str):
+    """The k-round knockout selection over one [R, m] distance block ->
+    f32 membership mask (k+1 ones per row incl. the pre-selected self).
+    Shared by the fused-kappa forward and the selection-only kernel so the
+    selected SET is bitwise identical between them by construction."""
     if select == "packed":
         # SINGLE-reduction knockout rounds: d0 >= 0, so its f32 bit pattern
         # is order-isomorphic to the value; truncate the low mantissa bits
@@ -166,28 +143,58 @@ def _kappa_fwd_kernel(
         pkm = jax.lax.fori_loop(
             0, k, body_packed, jnp.where(diag, imax, pk0), unroll=True,
         )
-        maskf = (pkm == imax).astype(jnp.float32)
-    else:
-        # carry the f32 distance matrix with INF knockouts and derive the
-        # membership mask ONCE at loop end (dm == _INF, unreachable as a
-        # live d0 value), so neither the per-round re-mask of d0 nor a
-        # per-round mask `or` pass exists: each round is 2 reductions + 2
-        # elementwise passes. (History: a bool-mask carry with per-round
-        # re-mask measured parity with the original dm carry, 2.43 vs
-        # 2.41 ms fwd+bwd — but that variant still paid re-mask + or; the
-        # packed mode's round-4 mask-at-end restructure measured
-        # 3.85 -> 3.32 ms/step at the attack shape, and this is the same
-        # restructure for the exact path.) Selected set is bitwise
-        # identical: same masked argmin, same lowest-index tie-break.
-        def body(j, dm):
-            vals = jnp.min(dm, axis=-1)
-            first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
-            return jnp.where(col == first[:, None], _INF, dm)
+        return (pkm == imax).astype(jnp.float32)
 
-        dmf = jax.lax.fori_loop(
-            0, k, body, jnp.where(diag, _INF, d0), unroll=True
-        )
-        maskf = (dmf == _INF).astype(jnp.float32)
+    # carry the f32 distance matrix with INF knockouts and derive the
+    # membership mask ONCE at loop end (dm == _INF, unreachable as a
+    # live d0 value), so neither the per-round re-mask of d0 nor a
+    # per-round mask `or` pass exists: each round is 2 reductions + 2
+    # elementwise passes. (History: a bool-mask carry with per-round
+    # re-mask measured parity with the original dm carry, 2.43 vs
+    # 2.41 ms fwd+bwd — but that variant still paid re-mask + or; the
+    # packed mode's round-4 mask-at-end restructure measured
+    # 3.85 -> 3.32 ms/step at the attack shape, and this is the same
+    # restructure for the exact path.) Selected set is bitwise
+    # identical: same masked argmin, same lowest-index tie-break.
+    def body(j, dm):
+        vals = jnp.min(dm, axis=-1)
+        first = jnp.min(jnp.where(dm == vals[:, None], col, m), axis=-1)
+        return jnp.where(col == first[:, None], _INF, dm)
+
+    dmf = jax.lax.fori_loop(
+        0, k, body, jnp.where(diag, _INF, d0), unroll=True
+    )
+    return (dmf == _INF).astype(jnp.float32)
+
+
+def _kappa_fwd_kernel(
+    q_ref, p_ref, nrm_ref, kappa_ref, mask_ref, *, k: int, select: str
+):
+    """q_ref [1, R, 3] (row block), p_ref [1, m, 3] (full cloud, == q),
+    nrm_ref [1, R, 3] (borrowed normals); kappa_ref [1, 1, R] f32 (the
+    singleton middle dim satisfies Mosaic's (8, 128) block-divisibility rule
+    for per-row outputs), mask_ref [1, R, m] int8 (the k+1 selected columns
+    per row, incl. self).
+    """
+    q = q_ref[0]
+    p = p_ref[0]
+    nv = nrm_ref[0]
+    R = q.shape[0]
+    m = p.shape[0]
+
+    d0 = _dist_block(q, p, exact=(select != "packed"))
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    growm = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
+    )
+
+    # the self column is always in the reference's top-(k+1) (d_ii ~ 0 and
+    # exact duplicates produce bit-equal distances, so the selected SET is
+    # unchanged): pre-select it and run only k argmin rounds. Its kappa
+    # contribution is exactly zero (see sdiag below), mirroring the
+    # reference's slot-0 drop.
+    diag = col == growm
+    maskf = _select_maskf(d0, diag, col, m, k, select)
 
     # |(p_c - q_i) . n_i| / r_ic for the whole block: p.n_i from one thin
     # matmul; the center term q_i.n_i is the matrix's own diagonal (extracted
@@ -198,6 +205,54 @@ def _kappa_fwd_kernel(
     a = jnp.abs(pn - sdiag[:, None]) / rc
     kappa_ref[0, 0] = jnp.sum(maskf * a, axis=-1) / k
     mask_ref[0] = maskf.astype(jnp.int8)
+
+
+def _kappa_selmask_kernel(q_ref, p_ref, mask_ref, *, k: int, select: str):
+    """Selection ONLY: the k-round knockout over one [R, m] row block ->
+    int8 membership mask (k+1 ones per row incl. self). Identical selection
+    code path as _kappa_fwd_kernel (shared _select_maskf), no kappa math.
+    Used by the lazy-refresh engine path (curv_knn_refresh_every > 1):
+    the mask is computed once per refresh block and consumed for K steps by
+    _kappa_frommask_kernel + the shared analytic backward."""
+    q = q_ref[0]
+    p = p_ref[0]
+    R = q.shape[0]
+    m = p.shape[0]
+    d0 = _dist_block(q, p, exact=(select != "packed"))
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    growm = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
+    )
+    diag = col == growm
+    mask_ref[0] = _select_maskf(d0, diag, col, m, k, select).astype(jnp.int8)
+
+
+def _kappa_frommask_kernel(
+    q_ref, p_ref, nrm_ref, maskin_ref, kappa_ref, *, k: int
+):
+    """Mask-consuming kappa forward: the A matrix + masked reduction of
+    _kappa_fwd_kernel with the selection mask passed IN — the 16-round
+    knockout loop (the fused step's single largest cost, ~0.9 ms of the
+    1.23 ms kappa forward at [32, 1024]) is skipped entirely. The distance
+    block stays HIGHEST so A's numerics are bit-identical to the exact
+    forward given the same mask."""
+    q = q_ref[0]
+    p = p_ref[0]
+    nv = nrm_ref[0]
+    R = q.shape[0]
+    m = p.shape[0]
+    d0 = _dist_block(q, p, exact=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    growm = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + pl.program_id(1) * R
+    )
+    diag = col == growm
+    maskf = maskin_ref[0].astype(jnp.float32)
+    pn = _dot_hilo(nv, p, (((1,), (1,)), ((), ())))  # [R, m]
+    sdiag = jnp.sum(jnp.where(diag, pn, 0.0), axis=-1)  # [R]
+    rc = jnp.maximum(jnp.sqrt(d0), _EPS)
+    a = jnp.abs(pn - sdiag[:, None]) / rc
+    kappa_ref[0, 0] = jnp.sum(maskf * a, axis=-1) / k
 
 
 def _kappa_bwd_kernel(
@@ -427,3 +482,88 @@ def _kappa_vjp_bwd(k, row_block, select, res, g):
 
 
 kappa_pallas.defvjp(_kappa_vjp_fwd, _kappa_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "select"))
+def kappa_selmask_call(cloud, k, row_block, select="exact"):
+    """Self-kNN membership mask only: cloud [b, n, 3] -> [b, n, n] int8
+    (k+1 ones per row incl. self). Same selection as _kappa_fwd_call by
+    shared code; non-differentiable (selection has no useful gradient)."""
+    b, n, _ = cloud.shape
+    grid = (b, n // row_block)
+    mask = pl.pallas_call(
+        functools.partial(_kappa_selmask_kernel, k=k, select=select),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, row_block, n), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.int8),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+            if _HAS_PLTPU
+            else None
+        ),
+    )(cloud.astype(jnp.float32), cloud.astype(jnp.float32))
+    return jax.lax.stop_gradient(mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def _kappa_frommask_call(cloud, normal, mask, k, row_block):
+    b, n, _ = cloud.shape
+    grid = (b, n // row_block)
+    kappa = pl.pallas_call(
+        functools.partial(_kappa_frommask_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, row_block, n), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+            if _HAS_PLTPU
+            else None
+        ),
+    )(cloud.astype(jnp.float32), cloud.astype(jnp.float32),
+      normal.astype(jnp.float32), mask)
+    return kappa[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def kappa_frommask_pallas(cloud, normal, mask, k, row_block=256):
+    """Kappa from a CACHED selection mask: cloud [b, n, 3], normal [b, n, 3]
+    (constants), mask [b, n, n] int8 (k+1 ones per row incl. self, from
+    kappa_selmask_call) -> kappa [b, n].
+
+    Same A-matrix math as kappa_pallas but the knockout selection loop is
+    skipped — the engine's curv_knn_refresh_every nested scan recomputes the
+    mask once per block and holds it fixed inside (reference semantics
+    refresh every step: loss_utils.py:70-85 re-selects per call — this is
+    the engine's documented lazy-refresh perf option). Differentiable in
+    `cloud` via the SAME analytic backward as kappa_pallas (it only ever
+    consumed the mask); `normal` and `mask` get no gradient."""
+    return _kappa_frommask_call(cloud, normal, mask, k=k, row_block=row_block)
+
+
+def _kappa_fm_vjp_fwd(cloud, normal, mask, k, row_block):
+    kappa = _kappa_frommask_call(cloud, normal, mask, k=k, row_block=row_block)
+    return kappa, (
+        jax.lax.stop_gradient(cloud),
+        jax.lax.stop_gradient(normal),
+        mask,
+    )
+
+
+def _kappa_fm_vjp_bwd(k, row_block, res, g):
+    cloud, normal, mask = res
+    grad = _kappa_bwd_call(cloud, normal, mask, g.astype(jnp.float32), k=k,
+                           row_block=row_block)
+    return grad.astype(cloud.dtype), jnp.zeros_like(normal), None
+
+
+kappa_frommask_pallas.defvjp(_kappa_fm_vjp_fwd, _kappa_fm_vjp_bwd)

@@ -332,6 +332,30 @@ class TestLazyKnnRefresh:
         denom = np.abs(a).mean() + 1e-6
         assert np.abs(a - b).mean() / denom < 0.2
 
+    def test_mask_cache_path_matches_idx_cache_path(self, rng, monkeypatch):
+        """The kappa-kernel lazy variant caches the selection MASK instead
+        of kNN indices (engine lazy_mask). On CPU the kernel is gated off,
+        so force the mask path and let the composed fallbacks run: the
+        trajectory must track the idx-cache variant closely (same refresh
+        schedule, same selected sets; expansion-vs-direct ~1e-3 kappa)."""
+        from geoa3_tpu.attack import engine as eng
+
+        logits_fn, pc, normal, gt = make_batch(rng)
+        kw = dict(BASE)
+        lazy = AttackConfig(
+            attack_label="Untarget", curv_knn_refresh_every=5, **kw
+        )
+        r_idx = attack(logits_fn, pc, normal, gt, gt, lazy, jax.random.PRNGKey(7))
+        monkeypatch.setattr(
+            eng.ops, "kappa_mask_path_available", lambda n: True
+        )
+        r_mask = attack(logits_fn, pc, normal, gt, gt, lazy, jax.random.PRNGKey(7))
+        assert np.asarray(r_mask.success).mean() >= 0.5
+        a = np.asarray(r_idx.all_loss)
+        b = np.asarray(r_mask.all_loss)
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.05
+
 
 class TestPointNetPPVictim:
     @pytest.mark.slow

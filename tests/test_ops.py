@@ -103,6 +103,58 @@ class TestKNN:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
 
+    def test_kappa_select_mask_matches_knn_set(self, rng):
+        """Composed kappa_select_mask = self + the k nearest non-self
+        columns (the kappa kernel's selection contract)."""
+        p = rng.randn(2, 40, 3).astype(np.float32)
+        k = 6
+        mask = np.asarray(ops.kappa_select_mask(jnp.asarray(p), k))
+        assert mask.shape == (2, 40, 40) and mask.dtype == np.int8
+        assert (mask.sum(-1) == k + 1).all()
+        assert (mask[:, np.arange(40), np.arange(40)] == 1).all()  # self
+        d = np_pairwise_sqdist(p, p)
+        d[:, np.arange(40), np.arange(40)] = np.inf
+        want_idx = np.argsort(d, axis=-1, kind="stable")[..., :k]
+        want = np.zeros_like(mask)
+        for bi in range(2):
+            for i in range(40):
+                want[bi, i, i] = 1
+                want[bi, i, want_idx[bi, i]] = 1
+        np.testing.assert_array_equal(mask, want)
+
+    def test_knn_kappa_from_mask_fresh_matches_knn_kappa(self, rng):
+        """With a FRESH mask, the masked kappa equals the composed
+        knn_kappa (same selected set; expansion-vs-direct ~1e-3)."""
+        p = rng.randn(2, 40, 3).astype(np.float32)
+        nrm = rng.randn(2, 40, 3).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        k = 6
+        mask = ops.kappa_select_mask(jnp.asarray(p), k)
+        got = ops.knn_kappa_from_mask(
+            jnp.asarray(p), jnp.asarray(nrm), mask, k
+        )
+        want = ops.knn_kappa(jnp.asarray(p), jnp.asarray(nrm), k)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5
+        )
+
+    def test_knn_kappa_from_mask_grad_finite_with_duplicates(self, rng):
+        """Coincident points: the composed masked form must keep the
+        gradient finite (the sqrt(0) branch is gated)."""
+        p = rng.randn(1, 32, 3).astype(np.float32)
+        p[0, 20] = p[0, 5]  # duplicate pair
+        nrm = rng.randn(1, 32, 3).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        mask = ops.kappa_select_mask(jnp.asarray(p), 4)
+
+        def f(c):
+            return ops.knn_kappa_from_mask(
+                c, jnp.asarray(nrm), mask, 4
+            ).sum()
+
+        g = jax.grad(f)(jnp.asarray(p))
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestFPS:
     def test_matches_cuda_semantics(self, rng):

@@ -1032,3 +1032,84 @@ class TestKappaKernel:
         np.testing.assert_allclose(
             np.asarray(gk), np.asarray(go), rtol=5e-3, atol=5e-4
         )
+
+    def test_selmask_matches_fused_forward_mask(self, rng):
+        """The selection-only kernel must produce the BIT-IDENTICAL mask as
+        the fused forward (shared _select_maskf), for both select modes."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _kappa_fwd_call,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=2, n=256)
+        for select in ("exact", "packed"):
+            with pltpu.force_tpu_interpret_mode():
+                _, want = _kappa_fwd_call(cloud, nrm, 16, 128, select)
+                got = kappa_selmask_call(cloud, 16, 128, select)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_frommask_matches_fused_forward_bitwise(self, rng):
+        """Given the fused forward's own mask, the mask-consuming forward
+        must reproduce kappa BIT-identically (same A math, same reduce)."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _kappa_fwd_call,
+            kappa_frommask_pallas,
+        )
+
+        cloud, nrm = self._data(rng, b=2, n=256)
+        with pltpu.force_tpu_interpret_mode():
+            want, mask = _kappa_fwd_call(cloud, nrm, 16, 128, "exact")
+            got = kappa_frommask_pallas(cloud, nrm, mask, 16, 128)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_frommask_grad_matches_fused(self, rng):
+        """With a fresh mask, the from-mask VJP must equal the fused
+        kernel's VJP bitwise (identical backward kernel + residuals)."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _kappa_fwd_call,
+            kappa_frommask_pallas,
+            kappa_pallas,
+        )
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        w = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            _, mask = _kappa_fwd_call(cloud, nrm, 8, 64, "exact")
+            gm = jax.grad(
+                lambda c: jnp.sum(
+                    kappa_frommask_pallas(c, nrm, mask, 8, 64) * w
+                )
+            )(cloud)
+            gf = jax.grad(
+                lambda c: jnp.sum(kappa_pallas(c, nrm, 8, 64) * w)
+            )(cloud)
+        np.testing.assert_array_equal(np.asarray(gm), np.asarray(gf))
+
+    def test_frommask_stale_mask_tracks_composed(self, rng):
+        """A slightly STALE mask (the refresh-block scenario): kappa from
+        the old mask on moved points must track the direct-difference
+        oracle computed with the same membership mask."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            kappa_frommask_pallas,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        with pltpu.force_tpu_interpret_mode():
+            mask = kappa_selmask_call(cloud, 8, 64, "exact")
+        moved = cloud + 1e-3 * jnp.asarray(
+            rng.randn(1, 128, 3).astype(np.float32)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_frommask_pallas(moved, nrm, mask, 8, 64)
+        c = np.asarray(moved)[0]
+        nv = np.asarray(nrm)[0]
+        mk = np.asarray(mask)[0].astype(np.float64)
+        diff = c[None, :, :] - c[:, None, :]  # [i, j, 3]: p_j - p_i
+        r = np.linalg.norm(diff, axis=-1)
+        unit = diff / np.maximum(r, 1e-12)[..., None]
+        a = np.abs(np.einsum("ijc,ic->ij", unit, nv))
+        want = (mk * a).sum(-1) / 8
+        np.testing.assert_allclose(
+            np.asarray(got)[0], want, rtol=1e-3, atol=1e-5
+        )
