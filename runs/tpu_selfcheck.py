@@ -209,6 +209,51 @@ def check_kappa(rng):
     return out
 
 
+@check("kappa_mask_reuse")
+def check_kappa_mask_reuse(rng):
+    """Selection-only + mask-consuming kappa kernels (the lazy-refresh
+    engine path): selmask must equal the fused forward's mask bitwise,
+    from_mask must reproduce kappa + grad bitwise given that mask."""
+    from geoa3_tpu.ops.pallas.kappa_kernel import (
+        _kappa_fwd_call,
+        kappa_frommask_pallas,
+        kappa_pallas,
+        kappa_selmask_call,
+    )
+
+    if jax.default_backend() == "cpu":
+        return {"ok": True, "skipped": "cpu backend (interpret-mode tests cover the math)"}
+
+    b, n, k = 8, 1024, 16
+    cloud = _cloud(rng, b, n)
+    nrm = rng.randn(b, n, 3).astype(np.float32)
+    nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
+    w = jnp.asarray(rng.randn(b, n).astype(np.float32))
+
+    kf, mf = jax.jit(
+        lambda c: _kappa_fwd_call(c, nrm, k, 512, "exact")
+    )(cloud)
+    ms = jax.jit(lambda c: kappa_selmask_call(c, k, 512, "exact"))(cloud)
+    km = jax.jit(lambda c: kappa_frommask_pallas(c, nrm, ms, k, 512))(cloud)
+    gf = jax.jit(
+        jax.grad(lambda c: jnp.sum(kappa_pallas(c, nrm, k, 512, "exact") * w))
+    )(cloud)
+    gm = jax.jit(
+        jax.grad(
+            lambda c: jnp.sum(kappa_frommask_pallas(c, nrm, ms, k, 512) * w)
+        )
+    )(cloud)
+    mask_eq = bool((np.asarray(ms) == np.asarray(mf)).all())
+    kappa_eq = bool((np.asarray(km) == np.asarray(kf)).all())
+    grad_eq = bool((np.asarray(gm) == np.asarray(gf)).all())
+    return {
+        "ok": mask_eq and kappa_eq and grad_eq,
+        "mask_bitwise_equal": mask_eq,
+        "kappa_bitwise_equal": kappa_eq,
+        "grad_bitwise_equal": grad_eq,
+    }
+
+
 # ---------------- model-level checks (pool, group_mlp, bqgroup, sa_fused) --
 
 
