@@ -50,6 +50,18 @@ here for the parity audit):
      selection. (The analogous kappa-packed mode measurably degrades CD/HD
      and stays opt-in: it changes the curvature statistic's membership
      mask, not just a gather index.)
+  7. The attack CLI defaults --curv_knn_refresh_every to 10: the curvature
+     loss's self-kNN selection is recomputed once per 10 Adam steps and
+     held fixed inside the block (the reference re-selects every call,
+     loss_utils.py:70-85). On TPU the cached object is the kappa kernel's
+     selection MASK and the in-block forward skips the knockout loop
+     entirely (~25% of the PointNet step). E2e recertified at the full
+     budget: success 250/250 and CD/HD within regeneration noise of the
+     exact-mode certs on every victim in the RESULTS.md round-4 refresh
+     table (PointNet at both K=10 and K=4).
+     --curv_knn_refresh_every 1 restores exact per-step reference
+     semantics (and is the library/AttackConfig default, so every loss
+     parity test runs exact).
 """
 
 from __future__ import annotations

@@ -148,10 +148,16 @@ def build_parser() -> argparse.ArgumentParser:
         "the supported mode; see RESULTS.md",
     )
     parser.add_argument(
-        "--curv_knn_refresh_every", default=1, type=int,
+        "--curv_knn_refresh_every", default=10, type=int,
         help="recompute the curvature loss's adversarial self-kNN every K "
         "steps instead of every step (1 = exact reference behaviour); the "
-        "point set drifts ~lr per step so small K is near-exact",
+        "point set drifts ~lr per step so small K is near-exact. The "
+        "default 10 is e2e-recertified on all three victims (250/250, "
+        "CD/HD in noise — engine deviation #7, RESULTS.md); on TPU the "
+        "lazy path caches the kappa kernel's selection mask and skips the "
+        "selection loop inside each block (PointNet 3.62 -> 2.95 ms/step). "
+        "Values not dividing --iter_max_steps fall back to the largest "
+        "divisor below",
     )
     parser.add_argument(
         "--margin_retry", action="store_true", default=False,
@@ -173,6 +179,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _attack_config(args, targeted_npoint=None) -> AttackConfig:
+    # lazy-refresh blocks must tile the inner loop exactly; fall back to
+    # the largest divisor so any --iter_max_steps keeps working with the
+    # K=10 default (e.g. 500 -> 10, 100 -> 10, 37 -> 1)
+    refresh = max(
+        d
+        for d in range(1, max(1, args.curv_knn_refresh_every) + 1)
+        if args.iter_max_steps % d == 0
+    )
+    if refresh != args.curv_knn_refresh_every:
+        print(
+            f"[config] curv_knn_refresh_every {args.curv_knn_refresh_every} "
+            f"does not divide iter_max_steps {args.iter_max_steps}; using "
+            f"{refresh}",
+            flush=True,
+        )
     return AttackConfig(
         arch=args.arch,
         classes=args.classes,
@@ -192,7 +213,7 @@ def _attack_config(args, targeted_npoint=None) -> AttackConfig:
         hd_loss_weight=args.hd_loss_weight,
         curv_loss_weight=args.curv_loss_weight,
         curv_loss_knn=args.curv_loss_knn,
-        curv_knn_refresh_every=args.curv_knn_refresh_every,
+        curv_knn_refresh_every=refresh,
         uniform_loss_weight=args.uniform_loss_weight,
         is_use_lr_scheduler=args.is_use_lr_scheduler,
         is_partial_var=args.is_partial_var,

@@ -121,3 +121,47 @@ class TestReadinessDrill:
         assert rep["steps"]["clean_acc"]["status"] == "SKIP"
         assert rep["steps"]["attack_smoke"]["status"] == "PASS", rep
         assert rc == 0
+
+
+class TestRefreshDivisorFallback:
+    """--curv_knn_refresh_every defaults to 10 (engine deviation #7); values
+    not dividing --iter_max_steps must fall back to the largest divisor so
+    the lazy-refresh nested scan tiles the inner loop exactly."""
+
+    def _cfg(self, extra):
+        from geoa3_tpu.cli.main_attack import _attack_config, build_parser
+
+        args = build_parser().parse_args(
+            ["--data_dir_file", "x.mat", "--checkpoint", "c"] + extra
+        )
+        return _attack_config(args)
+
+    def test_default_divides(self):
+        cfg = self._cfg(["--iter_max_steps", "500"])
+        assert cfg.curv_knn_refresh_every == 10
+
+    def test_non_divisor_falls_back(self):
+        cfg = self._cfg(["--iter_max_steps", "37"])
+        assert cfg.curv_knn_refresh_every == 1
+        cfg = self._cfg(["--iter_max_steps", "24", "--curv_knn_refresh_every", "9"])
+        assert cfg.curv_knn_refresh_every == 8
+
+    def test_exact_mode_untouched(self):
+        cfg = self._cfg(["--iter_max_steps", "500", "--curv_knn_refresh_every", "1"])
+        assert cfg.curv_knn_refresh_every == 1
+
+    def test_config_asserts_non_divisor(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from geoa3_tpu.attack import AttackConfig
+        from geoa3_tpu.attack.engine import make_attack_fn
+
+        cfg = AttackConfig(
+            attack_label="Untarget", classes=4, npoint=8,
+            binary_max_steps=1, iter_max_steps=7, curv_loss_weight=1.0,
+            curv_knn_refresh_every=3,
+        )
+        with _pytest.raises(AssertionError, match="multiple of"):
+            # make_attack_fn validates the config (engine.py cfg.validate())
+            make_attack_fn(lambda pc: jnp.zeros((pc.shape[0], 4)), cfg)
