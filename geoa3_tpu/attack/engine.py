@@ -55,10 +55,10 @@ here for the parity audit):
      held fixed inside the block (the reference re-selects every call,
      loss_utils.py:70-85). On TPU the cached object is the kappa kernel's
      selection MASK and the in-block forward skips the knockout loop
-     entirely (~25% of the PointNet step). E2e recertified at the full
-     budget: success 250/250 and CD/HD within regeneration noise of the
-     exact-mode certs on every victim in the RESULTS.md round-4 refresh
-     table (PointNet at both K=10 and K=4).
+     entirely (~25% of the PointNet step). E2e recertified at K=10 on all
+     three victims at the full budget: success 250/250 and CD/HD within
+     regeneration noise of the exact-mode certs (RESULTS.md round-4
+     refresh table; PointNet and SSG additionally certified at K=4).
      --curv_knn_refresh_every 1 restores exact per-step reference
      semantics (and is the library/AttackConfig default, so every loss
      parity test runs exact).
