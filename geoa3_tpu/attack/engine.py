@@ -225,9 +225,12 @@ def forward_losses(
         if kappa_mask is not None:
             # cached selection MASK (kappa-kernel lazy path): the knockout
             # loop ran once per refresh block in the outer scan; this step
-            # pays only the A matrix + masked reduction (+ the same
-            # analytic backward, which always consumed just the mask)
-            adv_kappa = ops.knn_kappa_from_mask(input_curr, normal, kappa_mask, k)
+            # pays ONE fused kernel computing the loss term and its
+            # gradient planes from a single matrix build (the backward is
+            # a per-instance scalar multiply — ops.curv_term_from_mask)
+            curv_loss = ops.curv_term_from_mask(
+                input_curr, normal, gp[:, 6], kappa_mask, k
+            )
         elif self_idx is not None:
             nn_pts = ops.knn_gather(input_curr, self_idx[..., 1:])
             vectors = nn_pts - input_curr[:, :, None, :]
@@ -242,8 +245,9 @@ def forward_losses(
             # (no [b, n, k, 3] neighbour block, no scatter-add); off-TPU
             # this composes the exact pre-fusion math
             adv_kappa = ops.knn_kappa(input_curr, normal, k)
-        onenn_ori_kappa = gp[:, 6]  # payload row 6 (exact copy)
-        curv_loss = jnp.mean((adv_kappa - onenn_ori_kappa) ** 2, axis=-1)
+        if kappa_mask is None:
+            onenn_ori_kappa = gp[:, 6]  # payload row 6 (exact copy)
+            curv_loss = jnp.mean((adv_kappa - onenn_ori_kappa) ** 2, axis=-1)
         constrain = constrain + cfg.curv_loss_weight * curv_loss
     else:
         curv_loss = jnp.zeros(b, input_curr.dtype)

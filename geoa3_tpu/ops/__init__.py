@@ -18,6 +18,7 @@ from geoa3_tpu.ops.knn import (
     knn_gather,
     knn_kappa,
     knn_kappa_from_mask,
+    curv_term_from_mask,
     kappa_select_mask,
     kappa_mask_path_available,
     gather_rows3,
@@ -44,6 +45,7 @@ __all__ = [
     "knn_gather",
     "knn_kappa",
     "knn_kappa_from_mask",
+    "curv_term_from_mask",
     "kappa_select_mask",
     "kappa_mask_path_available",
     "gather_rows3",

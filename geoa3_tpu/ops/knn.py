@@ -490,6 +490,44 @@ def knn_kappa_from_mask(
     return jnp.sum(mask.astype(cloud.dtype) * a, axis=-1) / k
 
 
+def curv_term_from_mask(
+    cloud: jax.Array,
+    normal: jax.Array,
+    ref: jax.Array,
+    mask: jax.Array,
+    k: int,
+) -> jax.Array:
+    """Per-instance curvature loss term with a CACHED selection mask:
+    cloud [b, n, 3], normal [b, n, 3], ref [b, n] (1-NN ori kappa), mask
+    [b, n, n] int8 -> [b] = mean_i (kappa_i - ref_i)^2 (reference
+    curvature_loss, Lib/loss_utils.py:84-97, on the lazy-refresh mask).
+
+    On TPU one fused Pallas kernel emits the term AND its gradient planes
+    from a single matrix build (the closed-form kappa-cotangent is
+    row-local), so the backward is a per-instance scalar multiply — the
+    mask-path forward + analytic backward previously rebuilt the same
+    d0/pn matrices twice per step. Elsewhere: composed
+    knn_kappa_from_mask -> mean of squared diffs (same values).
+    `normal` and `ref` are loss constants (their gathers ride the
+    non-differentiable nn1 payload)."""
+    normal = jax.lax.stop_gradient(normal)
+    ref = jax.lax.stop_gradient(ref)
+    n = cloud.shape[-2]
+    if not _pallas_disabled("kappa"):
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            _pick_row_block,
+            curv_term_frommask_pallas,
+            kappa_pallas_available,
+        )
+
+        if kappa_pallas_available(n):
+            return curv_term_frommask_pallas(
+                cloud, normal, ref, mask, k, _pick_row_block(n)
+            )
+    kappa = knn_kappa_from_mask(cloud, normal, mask, k)
+    return jnp.mean((kappa - ref) ** 2, axis=-1)
+
+
 def knn_points(query: jax.Array, points: jax.Array, k: int) -> KNNResult:
     """k nearest neighbours of `query` in `points`.
 

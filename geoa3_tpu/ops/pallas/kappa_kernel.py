@@ -567,3 +567,195 @@ def _kappa_fm_vjp_bwd(k, row_block, res, g):
 
 
 kappa_frommask_pallas.defvjp(_kappa_fm_vjp_fwd, _kappa_fm_vjp_bwd)
+
+def _curv_term_frommask_kernel(
+    q_ref, pt_ref, nrm_ref, mask_ref, ref_ref, sq_ref, out_ref,
+    *, k: int, npts: int
+):
+    """Fused curvature TERM: per-row squared diff (kappa_i - ref_i)^2 AND the
+    analytic gradient planes of sum_i (kappa_i - ref_i)^2 / npts, from ONE
+    matrix build.
+
+    The mask-consuming forward (_kappa_frommask_kernel) and the analytic
+    backward (_kappa_bwd_kernel) each rebuild the same d0/pn matrices —
+    together 46% of the 2.95 ms attack step at [32, 1024]. But the
+    curvature loss's kappa-cotangent has a closed row-local form
+    (2 (kappa_i - ref_i) / npts, reference loss_utils.py:84-97 mean of
+    squared diffs), so one kernel can compute kappa, derive the local
+    cotangent, and run the backward's thin matmuls while the matrices are
+    VMEM-resident. The engine-level backward degenerates to scaling the
+    planes by the per-instance scalar cotangent (const * weight / batch).
+
+    Numerics: identical operations to _kappa_frommask_kernel +
+    _kappa_bwd_kernel except the cotangent product order — today XLA
+    computes g = c_b * 2(kappa-ref)/npts outside and the kernel multiplies
+    by 1/k; here g_loc = 2(kappa-ref)/npts is in-kernel and c_b multiplies
+    the planes outside (<= 1 ULP per element reordering).
+
+    q_ref [1, R, 3]; pt_ref [1, 8, m] (rows 0..2 = cloud x/y/z);
+    nrm_ref [1, R, 3]; mask_ref [1, R, m] int8; ref_ref [1, 1, R]
+    (the 1-NN ori kappa for these rows); sq_ref [1, 1, R] (squared diff
+    out); out_ref [1, 8, m] f32 accumulated gradient planes (rows 3..7
+    stay zero).
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]  # [R, 3]
+    pt = pt_ref[0]  # [8, m]
+    nv = nrm_ref[0]  # [R, 3]
+    maskf = mask_ref[0].astype(jnp.float32)  # [R, m]
+    ref = ref_ref[0, 0]  # [R]
+    R = q.shape[0]
+    m = pt.shape[1]
+
+    p3 = pt[:3]  # [3, m]
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    p2 = jnp.sum(p3 * p3, axis=0)[None, :]
+    # near-neighbour cancellation: keep the distance dot at HIGHEST (see
+    # _kappa_bwd_kernel)
+    qp = jax.lax.dot_general(
+        q, p3, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    d0 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
+    r = jnp.sqrt(d0)
+    rc = jnp.maximum(r, _EPS)
+
+    pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))  # [R, m]
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
+    oh = (col == grow).astype(jnp.float32)  # row i's own column
+    sdiag = jnp.sum(oh * pn, axis=-1)
+    dot = pn - sdiag[:, None]
+    a = jnp.abs(dot) / rc
+
+    # --- forward value + local cotangent (row-resident) ---
+    kappa = jnp.sum(maskf * a, axis=-1) / k  # [R]
+    diff = kappa - ref
+    sq_ref[0, 0] = diff * diff
+    g = diff * (2.0 / npts)  # d[sum_i diff_i^2 / npts] / d kappa_i
+
+    # --- analytic backward, same math as _kappa_bwd_kernel ---
+    gk = (g / k)[:, None]  # [R, 1]
+    w1 = maskf * gk * jnp.sign(dot) / rc  # [R, m]
+    w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)  # [R, m]
+
+    dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
+    gp = (
+        _dot_hilo(nv, w1, dn_r)
+        + _dot_hilo(q, w2, dn_r)
+        - jnp.sum(w2, axis=0)[None, :] * p3
+    )  # [3, m]
+
+    w2p = _dot_hilo(w2, p3, (((1,), (1,)), ((), ())))  # [R, 3]
+    gq = (
+        -jnp.sum(w1, axis=1)[:, None] * nv
+        + w2p
+        - jnp.sum(w2, axis=1)[:, None] * q
+    )  # [R, 3]
+    gqh = gq.astype(jnp.bfloat16)
+    gql = (gq - gqh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh.astype(jnp.bfloat16)
+    _f = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn_r,
+        preferred_element_type=jnp.float32, precision=_PDEF,
+    )
+    gcen = _f(gqh, ohb) + _f(gql, ohb)  # [3, m]
+
+    contrib = jnp.concatenate(
+        [gp + gcen, jnp.zeros((5, m), jnp.float32)], axis=0
+    )  # [8, m]
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(j > 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def _curv_term_frommask_call(cloud, normal, ref, mask, k, row_block):
+    b, n, _ = cloud.shape
+    grid = (b, n // row_block)
+    pt = jnp.concatenate(
+        [
+            jnp.swapaxes(cloud.astype(jnp.float32), 1, 2),
+            jnp.zeros((b, 5, n), jnp.float32),
+        ],
+        axis=1,
+    )  # [b, 8, n]
+    sq, planes = pl.pallas_call(
+        functools.partial(_curv_term_frommask_kernel, k=k, npts=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, row_block, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, row_block, n), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
+        ],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+            if _HAS_PLTPU
+            else None
+        ),
+    )(cloud.astype(jnp.float32), pt, normal.astype(jnp.float32), mask,
+      ref.astype(jnp.float32)[:, None, :])
+    return jnp.sum(sq[:, 0], axis=-1) / n, planes
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def curv_term_frommask_pallas(cloud, normal, ref, mask, k, row_block=256):
+    """Per-instance curvature loss term from a CACHED selection mask:
+    cloud [b, n, 3], normal [b, n, 3] (constants), ref [b, n] (the 1-NN ori
+    kappa, constant), mask [b, n, n] int8 -> curv [b] =
+    mean_i (kappa_i - ref_i)^2 (reference curvature_loss,
+    Lib/loss_utils.py:84-97, with the engine's lazy mask).
+
+    ONE kernel computes both the term and its gradient planes (the
+    closed-form kappa-cotangent lives row-local), so the VJP is a
+    per-instance scalar multiply — no second matrix build. Differentiable
+    in `cloud` only."""
+    curv, _ = _curv_term_frommask_call(
+        cloud, normal, ref, mask, k=k, row_block=row_block
+    )
+    return curv
+
+
+def _curv_term_fm_vjp_fwd(cloud, normal, ref, mask, k, row_block):
+    curv, planes = _curv_term_frommask_call(
+        cloud, normal, ref, mask, k=k, row_block=row_block
+    )
+    # zero-size dtype tokens so the bwd can emit correctly-typed grads
+    # without carrying the full primals
+    return curv, (
+        planes,
+        jnp.zeros((), cloud.dtype),
+        jnp.zeros((), normal.dtype),
+        jnp.zeros((), ref.dtype),
+    )
+
+
+def _curv_term_fm_vjp_bwd(k, row_block, res, g):
+    planes, ctok, ntok, rtok = res
+    b, _, n = planes.shape
+    # g: [b] per-instance cotangent (const * weight / batch downstream)
+    grad = (g[:, None, None] * planes[:, :3, :]).transpose(0, 2, 1)
+    return (
+        grad.astype(ctok.dtype),
+        jnp.zeros((b, n, 3), ntok.dtype),
+        jnp.zeros((b, n), rtok.dtype),
+        None,
+    )
+
+
+curv_term_frommask_pallas.defvjp(_curv_term_fm_vjp_fwd, _curv_term_fm_vjp_bwd)

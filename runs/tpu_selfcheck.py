@@ -254,6 +254,67 @@ def check_kappa_mask_reuse(rng):
     }
 
 
+@check("curv_term_fused")
+def check_curv_term(rng):
+    """Fused curvature-TERM kernel (loss + gradient planes from one matrix
+    build; the mask-path default) vs kappa_frommask + mean((.-ref)^2):
+    value must match tightly (same A math, in-kernel reduce); grad within
+    the ULP-cotangent-reordering bound (see the interpret test)."""
+    from geoa3_tpu.ops.pallas.kappa_kernel import (
+        curv_term_frommask_pallas,
+        kappa_frommask_pallas,
+        kappa_selmask_call,
+    )
+
+    if jax.default_backend() == "cpu":
+        return {"ok": True, "skipped": "cpu backend (interpret-mode tests cover the math)"}
+
+    b, n, k = 8, 1024, 16
+    cloud = _cloud(rng, b, n)
+    nrm = rng.randn(b, n, 3).astype(np.float32)
+    nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
+    ref = jnp.asarray(np.abs(rng.randn(b, n)).astype(np.float32))
+    cw = jnp.asarray(np.abs(rng.randn(b)).astype(np.float32) + 0.5)
+
+    ms = jax.jit(lambda c: kappa_selmask_call(c, k, 512, "exact"))(cloud)
+    v_t = jax.jit(
+        lambda c: curv_term_frommask_pallas(c, nrm, ref, ms, k, 512)
+    )(cloud)
+    v_c = jax.jit(
+        lambda c: jnp.mean(
+            (kappa_frommask_pallas(c, nrm, ms, k, 512) - ref) ** 2, axis=-1
+        )
+    )(cloud)
+    g_t = jax.jit(
+        jax.grad(
+            lambda c: jnp.mean(
+                cw * curv_term_frommask_pallas(c, nrm, ref, ms, k, 512)
+            )
+        )
+    )(cloud)
+    g_c = jax.jit(
+        jax.grad(
+            lambda c: jnp.mean(
+                cw
+                * jnp.mean(
+                    (kappa_frommask_pallas(c, nrm, ms, k, 512) - ref) ** 2,
+                    axis=-1,
+                )
+            )
+        )
+    )(cloud)
+    vrel = float(
+        (np.abs(np.asarray(v_t) - np.asarray(v_c))
+         / np.maximum(np.abs(np.asarray(v_c)), 1e-9)).max()
+    )
+    grel = float(
+        np.abs(np.asarray(g_t) - np.asarray(g_c)).max()
+        / (np.abs(np.asarray(g_c)).max() + 1e-12)
+    )
+    return {"value_max_rel": vrel, "grad_max_rel_of_max": grel,
+            "ok": vrel < 1e-5 and grel < 5e-3}
+
+
 # ---------------- model-level checks (pool, group_mlp, bqgroup, sa_fused) --
 
 

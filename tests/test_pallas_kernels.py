@@ -1113,3 +1113,79 @@ class TestKappaKernel:
         np.testing.assert_allclose(
             np.asarray(got)[0], want, rtol=1e-3, atol=1e-5
         )
+
+    def test_curv_term_value_matches_frommask(self, rng):
+        """The fused curvature TERM kernel's value must equal
+        mean((kappa_frommask - ref)^2) built from the same mask (identical
+        A math; only the mean's reduce is in-kernel)."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            curv_term_frommask_pallas,
+            kappa_frommask_pallas,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=2, n=256)
+        ref = jnp.asarray(np.abs(rng.randn(2, 256)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            mask = kappa_selmask_call(cloud, 16, 128, "exact")
+            kap = kappa_frommask_pallas(cloud, nrm, mask, 16, 128)
+            got = curv_term_frommask_pallas(cloud, nrm, ref, mask, 16, 128)
+        want = jnp.mean((kap - ref) ** 2, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9
+        )
+
+    def test_curv_term_grad_matches_composed_vjp(self, rng):
+        """The planes-in-forward VJP (scalar-cotangent scaling) must match
+        autodiff through kappa_frommask + mean((.-ref)^2), including a
+        per-instance weight like the engine's const. The cotangent product
+        ORDER differs (g_loc = 2*diff/n in-kernel vs XLA's fused mean-grad),
+        a ~2^-23 relative input perturbation that the partially-cancelling
+        center-vs-neighbour plane sums amplify to ~1e-3 relative on
+        near-zero entries — bound it absolutely (grads are O(1e-2))."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            curv_term_frommask_pallas,
+            kappa_frommask_pallas,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=2, n=128)
+        ref = jnp.asarray(np.abs(rng.randn(2, 128)).astype(np.float32))
+        cw = jnp.asarray(np.abs(rng.randn(2)).astype(np.float32) + 0.5)
+        with pltpu.force_tpu_interpret_mode():
+            mask = kappa_selmask_call(cloud, 8, 64, "exact")
+
+            def loss_term(c):
+                return jnp.mean(
+                    cw * curv_term_frommask_pallas(c, nrm, ref, mask, 8, 64)
+                )
+
+            def loss_composed(c):
+                kap = kappa_frommask_pallas(c, nrm, mask, 8, 64)
+                return jnp.mean(cw * jnp.mean((kap - ref) ** 2, axis=-1))
+
+            gt_ = jax.grad(loss_term)(cloud)
+            gc_ = jax.grad(loss_composed)(cloud)
+        np.testing.assert_allclose(
+            np.asarray(gt_), np.asarray(gc_), rtol=5e-3, atol=2e-5
+        )
+
+    def test_curv_term_ops_fallback_parity(self, rng):
+        """ops.curv_term_from_mask's composed fallback (what CPU runs) must
+        match the interpret-mode kernel within the documented kappa
+        tolerance."""
+        from geoa3_tpu import ops
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            curv_term_frommask_pallas,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        ref = jnp.asarray(np.abs(rng.randn(1, 128)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            mask = kappa_selmask_call(cloud, 8, 64, "exact")
+            got = curv_term_frommask_pallas(cloud, nrm, ref, mask, 8, 64)
+        want = ops.curv_term_from_mask(cloud, nrm, ref, mask, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-7
+        )
