@@ -98,8 +98,12 @@ def _traced_ms_per_step(fn, args, steps):
         shutil.rmtree(logdir, ignore_errors=True)
 
 
-def _setup(batch, steps, npoint):
-    """Victim + attack config + a synthetic measurement batch."""
+def _setup(batch, steps, npoint, refresh=None):
+    """Victim + attack config + a synthetic measurement batch.
+
+    refresh=None picks the attack CLI's K=10 lazy-refresh default (largest
+    divisor of `steps` <= 10); refresh=1 is exact per-step reference
+    semantics (engine deviation #7 off)."""
     from geoa3_tpu.attack import AttackConfig
     from geoa3_tpu.data.synthetic import sample_shape
     from geoa3_tpu.models.registry import build_model, make_eval_fn
@@ -138,8 +142,10 @@ def _setup(batch, steps, npoint):
         # #7, e2e-recertified on all three victims): the bench measures the
         # config a user actually runs. Largest divisor <= 10 so any
         # GEOA3_BENCH_STEPS keeps compiling.
-        curv_knn_refresh_every=max(
-            d for d in range(1, 11) if steps % d == 0
+        curv_knn_refresh_every=(
+            refresh
+            if refresh is not None
+            else max(d for d in range(1, 11) if steps % d == 0)
         ),
     )
     return logits_fn, cfg, (pc, nrm, gt)
@@ -181,6 +187,7 @@ def run_single(batch=None, steps=None, npoint=None) -> dict:
         "metric": "attacks_per_sec_per_chip",
         "value": round(attacks_per_sec, 4),
         "unit": "attacks/s (1024-pt PointNet, full GeoA3 budget)",
+        "step_ms": round(ms_per_step, 3),
         # the defensible perf claim: analytic model FLOPs (victim fwd+bwd +
         # loss-geometry matmuls, utils/flops.py conventions) over the chip's
         # bf16 peak. vs_baseline is a footnote — the reference publishes no
@@ -198,6 +205,40 @@ def run_single(batch=None, steps=None, npoint=None) -> dict:
     stats = mfu(ms_per_step, batch, npoint, k=16)
     if stats:
         out.update(stats)
+
+    # exact-reference-semantics probe (engine deviations #6 AND #7 off:
+    # per-step curvature re-selection + exact nn1 argmins), short trace in
+    # the same run — the headline measures the CLI's recertified deviated
+    # default, and this key keeps the exact number beside it so cross-round
+    # comparisons can never silently mix semantics. GEOA3_BENCH_EXACT=0
+    # skips it (e.g. inner sweeps).
+    if os.environ.get("GEOA3_BENCH_EXACT", "1") != "0":
+        exact_steps = min(steps, 50)
+        prev = os.environ.get("GEOA3_NN1_SELECT")
+        os.environ["GEOA3_NN1_SELECT"] = "exact"
+        try:
+            lf_e, cfg_e, (pc_e, nrm_e, gt_e) = _setup(
+                batch, exact_steps, npoint, refresh=1
+            )
+            fn_e = jax.jit(make_attack_fn(lf_e, cfg_e))
+            compile_e, ms_exact = _measure(
+                fn_e, (pc_e, nrm_e, gt_e, gt_e), exact_steps
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("GEOA3_NN1_SELECT", None)
+            else:
+                os.environ["GEOA3_NN1_SELECT"] = prev
+        print(
+            f"# exact-semantics probe: step={ms_exact:.2f}ms "
+            f"(compile={compile_e:.1f}s, {exact_steps} steps)",
+            file=sys.stderr,
+        )
+        out["step_ms_exact"] = round(ms_exact, 3)
+        out["attacks_per_sec_exact"] = round(
+            batch / (ms_exact / 1000 * FULL_BUDGET_STEPS), 4
+        )
+        out["exact_compile_s"] = round(compile_e, 1)
     return out
 
 

@@ -12,7 +12,6 @@ STEPS (50), KS (comma list, default "1,10").
 import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 import jax
@@ -56,15 +55,19 @@ cfg = AttackConfig(
     hd_loss_weight=0.1, curv_loss_weight=1.0, curv_loss_knn=16,
 )
 
-for K in KS:
+# the engine asserts iter_max_steps % curv_knn_refresh_every == 0 — drop
+# non-divisor Ks up front instead of aborting mid-sweep
+ks_ok = [k for k in KS if STEPS % k == 0]
+if ks_ok != KS:
+    print(f"WARNING: dropping K values that do not divide STEPS={STEPS}: "
+          f"{sorted(set(KS) - set(ks_ok))}", flush=True)
+
+for K in ks_ok:
     cfgk = dataclasses.replace(cfg, curv_knn_refresh_every=K)
     fn = jax.jit(make_attack_fn(logits_fn, cfgk))
-    k0, k1 = jax.random.split(jax.random.PRNGKey(time.time_ns() % (2**31)))
-    t0 = time.time()
-    res = fn(pc, nrm, gt, gt, k0)
-    np.asarray(res.best_attack)
-    compile_s = time.time() - t0
-    ms = bench._traced_ms_per_step(fn, (pc, nrm, gt, gt, k1), STEPS)
+    # bench._measure is the timing methodology of record (fresh PRNG keys,
+    # compile timing, wall-clock fallback when the trace is unusable)
+    compile_s, ms = bench._measure(fn, (pc, nrm, gt, gt), STEPS)
     aps = B / (ms / 1000.0) / 5000.0
     print(
         f"{ARCH} B={B} K={K}: {ms:.3f} ms/step (compile {compile_s:.1f}s) "

@@ -391,30 +391,54 @@ def main():
         print("WARNING: no TPU — this run only smokes the harness", flush=True)
 
     rng = np.random.RandomState(0)
-    results, all_ok = {}, True
+    # a scoped --only run MERGES into the existing artifact instead of
+    # replacing it (round-4 post-mortem: a one-check scoped run overwrote
+    # the 8-check artifact of record); each check carries its own `when`
+    results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("checks", {})
+        except Exception:
+            results = {}
+    ran_any = False
     for name, fn in CHECKS:
         if args.only and args.only not in name:
             continue
+        ran_any = True
         t0 = time.time()
         try:
             res = fn(rng)
         except Exception as e:  # noqa: BLE001 — record, keep checking
             res = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         res["seconds"] = round(time.time() - t0, 1)
+        res["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        res["backend"] = backend
         results[name] = res
-        all_ok = all_ok and res["ok"]
         print(f"[{name}] {'PASS' if res['ok'] else 'FAIL'} {res}", flush=True)
+    if args.only and not ran_any:
+        print(f"ERROR: --only {args.only!r} matched no check", flush=True)
+        sys.exit(2)
 
+    # the artifact's ok is over the FULL expected check list: a check that
+    # never ran (or was dropped by a bad merge) fails loudly, never silently
+    expected = [name for name, _ in CHECKS]
+    missing = [n for n in expected if n not in results]
+    all_ok = not missing and all(results[n]["ok"] for n in expected)
     artifact = {
         "ok": all_ok,
         "backend": backend,
         "device": dev,
         "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "expected_checks": expected,
+        "missing_checks": missing,
         "checks": results,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
+    if missing:
+        print(f"MISSING CHECKS (never ran): {missing}", flush=True)
     print(("ALL PASS" if all_ok else "FAILURES") + f" -> {args.out}", flush=True)
     sys.exit(0 if all_ok else 1)
 
