@@ -368,6 +368,43 @@ def _gather_rows3_bwd(res, ct):
 gather_rows3.defvjp(_gather_rows3_fwd, _gather_rows3_bwd)
 
 
+def kappa_pallas_padded(
+    cloud: jax.Array, normal: jax.Array, k: int, select: str = None
+) -> jax.Array:
+    """kappa_pallas on a dense / lane-unaligned cloud (reference
+    modelnet_pure n=10000, BASELINE config 3): pad to kappa_padded_n(n)
+    with far-away DISTINCT sentinel points and slice the result back.
+
+    Real rows never select a sentinel (squared distance >= ~1e6 vs a unit
+    cloud), so their kappa — and, through the masked analytic backward,
+    their gradient (sentinel rows' cotangents are zero after the slice) —
+    is bitwise what the unpadded kernel would produce."""
+    from geoa3_tpu.ops.pallas.kappa_kernel import (
+        _pick_row_block,
+        kappa_padded_n,
+        kappa_pallas,
+        kappa_select_default,
+    )
+
+    b, n, _ = cloud.shape
+    pad_n = kappa_padded_n(n)
+    if select is None:
+        select = kappa_select_default()
+    if pad_n != n:
+        pad = pad_n - n
+        sent = (
+            1e3 + 10.0 * jnp.arange(pad, dtype=cloud.dtype)[:, None]
+        ) * jnp.ones((1, 3), cloud.dtype)
+        cloud = jnp.concatenate(
+            [cloud, jnp.broadcast_to(sent, (b, pad, 3))], axis=1
+        )
+        normal = jnp.concatenate(
+            [normal, jnp.zeros((b, pad, 3), normal.dtype)], axis=1
+        )
+    kp = kappa_pallas(cloud, normal, k, _pick_row_block(pad_n), select)
+    return kp[:, :n]
+
+
 def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
     """Curvature proxy over the self-kNN neighbourhood: cloud [b, n, 3],
     normal [b, n, 3] (loss constants) -> kappa [b, n].
@@ -387,6 +424,7 @@ def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
     if not _pallas_disabled("kappa"):
         from geoa3_tpu.ops.pallas.kappa_kernel import (
             _pick_row_block,
+            kappa_dense_available,
             kappa_pallas,
             kappa_pallas_available,
             kappa_select_default,
@@ -396,6 +434,8 @@ def knn_kappa(cloud: jax.Array, normal: jax.Array, k: int) -> jax.Array:
             return kappa_pallas(
                 cloud, normal, k, _pick_row_block(n), kappa_select_default()
             )
+        if kappa_dense_available(n):
+            return kappa_pallas_padded(cloud, normal, k)
     res = knn_points(cloud, cloud, k=k + 1)
     nn_pts = res.nbrs[:, :, 1:, :]
     vectors = nn_pts - cloud[:, :, None, :]

@@ -343,30 +343,62 @@ def _kappa_bwd_kernel(
         out_ref[0] = out_ref[0] + contrib
 
 
+# row-block working set: ~6 live [rb, m] f32 matrices (d0/r, pn, a/dot,
+# w1, w2, mask decode) must fit the 64 MB VMEM limit -> rb * m <= ~2.75M
+_RB_ELEM_BUDGET = 2_750_000
+
+
 def _pick_row_block(n: int) -> int:
     # 512 measured best at [32, 1024, k=16]: 2.43 ms fwd+bwd vs 2.50 (256)
-    # and 2.83 (128) — runs/bench_kappa_rb.py
+    # and 2.83 (128) — runs/bench_kappa_rb.py. Dense shapes scale the block
+    # down so the [rb, n] working set stays VMEM-resident.
     for rb in (512, 256, 128):
-        if n % rb == 0:
+        if n % rb == 0 and rb * n <= _RB_ELEM_BUDGET:
             return rb
     return 0
 
 
-def kappa_pallas_available(n: int) -> bool:
-    """Gate: TPU backend, row blocks lane-aligned, VMEM-sized cloud
-    (kill switch GEOA3_DISABLE_PALLAS=kappa)."""
+def kappa_padded_n(n: int) -> int:
+    """The lane-aligned cloud size the kernel actually runs at: callers pad
+    n -> this with far-away sentinel points (ops/knn.py::knn_kappa) and
+    slice the result back. 128-multiples pass through unchanged."""
+    return ((n + 127) // 128) * 128
+
+
+def _kappa_backend_ok() -> bool:
     from geoa3_tpu.ops import dispatch
 
     if dispatch.pallas_disabled("kappa"):
         return False
     if not _HAS_PLTPU:
         return False
-    if n % 128 != 0 or n > 4096 or _pick_row_block(n) == 0:
-        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def kappa_pallas_available(n: int) -> bool:
+    """Gate for the EXACT-shape kernel paths (direct kappa AND the
+    [b, n, n] mask-cache path the engine's lazy refresh carries): TPU
+    backend, lane-aligned rows, VMEM-sized cloud (kill switch
+    GEOA3_DISABLE_PALLAS=kappa)."""
+    if n % 128 != 0 or n > 4096 or _pick_row_block(n) == 0:
+        return False
+    return _kappa_backend_ok()
+
+
+def kappa_dense_available(n: int) -> bool:
+    """Gate for the PADDED direct-kappa path (ops/knn.py::knn_kappa):
+    arbitrary n up to the reference's modelnet_pure dense clouds
+    (n=10000, BASELINE config 3 — main_attack.py:213,283-295), run at
+    kappa_padded_n(n) with far-away sentinel points and sliced back.
+    Covers only kappa_pallas (fwd + analytic bwd); the mask-cache path
+    keeps the exact-shape gate (its [b, n, n] carry is engine state)."""
+    pad = kappa_padded_n(n)
+    if pad > 12288 or _pick_row_block(pad) == 0:
+        return False
+    return _kappa_backend_ok()
 
 
 @functools.partial(jax.jit, static_argnames=("k", "row_block", "select"))

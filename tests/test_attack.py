@@ -190,12 +190,19 @@ class TestAttackCore:
         fallbacks at full n while the victim sees cfg.npoint points
         (reference main_attack.py:213,283-295). runs/bench_dense.py measures
         the same config on TPU at n = 5000/10000."""
-        from geoa3_tpu.ops.pallas.kappa_kernel import kappa_pallas_available
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            kappa_padded_n,
+            kappa_pallas_available,
+        )
 
-        # the real dense shapes are shape-gated off the fused kappa kernel
-        # regardless of backend (gate checks shape before platform)
+        # the real dense shapes are shape-gated off the EXACT-shape kappa
+        # kernel paths (mask cache / direct) regardless of backend; on TPU
+        # the direct path instead rides the sentinel-padded kernel
+        # (ops.kappa_pallas_padded, kappa_dense_available) at these sizes
         assert not kappa_pallas_available(5000)   # 5000 % 128 != 0
         assert not kappa_pallas_available(10000)  # > 4096
+        assert kappa_padded_n(5000) == 5120
+        assert kappa_padded_n(10000) == 10112
 
         logits_fn, pc, normal, gt = make_batch(rng, n=100)  # 100 % 128 != 0
         kw = dict(BASE)

@@ -939,6 +939,41 @@ class TestKappaKernel:
         )
         assert np.isfinite(np.asarray(got)).all()
 
+    def test_padded_dense_matches_unpadded(self, rng):
+        """Sentinel-padded dense path (ops.kappa_pallas_padded, the
+        BASELINE-config-3 n=10000 prologue route): a lane-UNALIGNED cloud
+        padded to the next 128-multiple must produce BITWISE the kappa and
+        gradient of the composed path restricted to the real rows — real
+        rows never select a far sentinel, and sentinel rows' cotangents
+        are zero after the slice."""
+        from geoa3_tpu.ops.knn import kappa_pallas_padded
+
+        # n=200 pads to 256 (pad=56 < k+1=9: sentinel rows select real
+        # points — the grad must STILL be unaffected because their
+        # cotangents are zero)
+        cloud, nrm = self._data(rng, b=2, n=200)
+        w = jnp.asarray(rng.randn(2, 200).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = kappa_pallas_padded(cloud, nrm, 8, select="exact")
+            gk = jax.grad(
+                lambda c: jnp.sum(
+                    kappa_pallas_padded(c, nrm, 8, select="exact") * w
+                )
+            )(cloud)
+            # unpadded-kernel oracle at an aligned shape is impossible for
+            # n=200; the composed path is the semantic oracle
+        from geoa3_tpu import ops
+
+        want = ops.knn_kappa(cloud, nrm, 8)
+        gw = jax.grad(lambda c: jnp.sum(ops.knn_kappa(c, nrm, 8) * w))(cloud)
+        assert got.shape == (2, 200)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gw), rtol=5e-3, atol=5e-4
+        )
+
     def test_packed_select_forward(self, rng):
         """Packed single-reduction knockout (GEOA3_KAPPA_SELECT=packed):
         quantised-bit tie-breaks may swap near-tied neighbours, but kappa
