@@ -179,7 +179,9 @@ def forward_losses(
         pay = jnp.concatenate(
             [pay, jnp.zeros((b, pad, pay.shape[2]), pay.dtype)], axis=1
         )
-        a2o_idx, o2a_idx, gp = ops.nn1_dual_payload(input_curr, pc_ori, pay)
+        a2o_idx, o2a_idx, gp, op = ops.nn1_dual_payload(
+            input_curr, pc_ori, pay
+        )
         # differentiable squared 1-NN distances, shared by CD / HD —
         # computed per coordinate plane (gp rows are constants, so the
         # backward is pure elementwise: no gather, no scatter)
@@ -193,10 +195,16 @@ def forward_losses(
         if cfg.is_cd_single_side:
             dis_loss = d_a2o.mean(axis=-1)
         else:
-            # Pallas-scatter backward (XLA's take-backward is a sort-based
-            # scatter-add, ~0.3 ms/step at b=32)
-            o2a_nn = ops.gather_rows3(input_curr, o2a_idx)
-            d_o2a = jnp.sum((pc_ori - o2a_nn) ** 2, axis=-1)
+            # o2a-side coords come as kernel payload planes (no XLA row
+            # gather); differentiable via the Pallas-scatter backward
+            # (XLA's take-backward is a sort-based scatter-add,
+            # ~0.3 ms/step at b=32)
+            opg = ops.o2a_coord_planes(input_curr, o2a_idx, op)
+            d_o2a = (
+                (pc_ori[..., 0] - opg[:, 0]) ** 2
+                + (pc_ori[..., 1] - opg[:, 1]) ** 2
+                + (pc_ori[..., 2] - opg[:, 2]) ** 2
+            )  # [b, n_ori]
             dis_loss = d_a2o.mean(axis=-1) + d_o2a.mean(axis=-1)
         constrain = cfg.dis_loss_weight * dis_loss
     elif cfg.dis_loss_type == "L2":

@@ -24,6 +24,7 @@ from geoa3_tpu.ops.knn import (
     gather_rows3,
     nn1_dual,
     nn1_dual_payload,
+    o2a_coord_planes,
 )
 from geoa3_tpu.ops.sampling import (
     furthest_point_sampling,
@@ -51,6 +52,7 @@ __all__ = [
     "gather_rows3",
     "nn1_dual",
     "nn1_dual_payload",
+    "o2a_coord_planes",
     "furthest_point_sampling",
     "farthest_points_sample",
     "farthest_points_sample_with_normal",

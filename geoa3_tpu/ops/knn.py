@@ -128,6 +128,17 @@ def _nn1_rb(n: int, m: int) -> int:
     return next((r for r in cands if n % r == 0), n)
 
 
+def _nn1_ok(m: int) -> bool:
+    """Gate for the dual-1NN kernels' ori side: they hold one [R, m]
+    distance tile (+ [8, m] payload planes) in VMEM with the row block
+    scaled by _nn1_rb, so dense ori clouds up to the reference's
+    modelnet_pure n=10000 (BASELINE config 3) fit at R=64. m needs only
+    8-sublane alignment (the o2a outputs use full-trailing-dim blocks)."""
+    from geoa3_tpu.ops.pallas.knn_kernel import pallas_available
+
+    return m <= 12288 and m % 8 == 0 and pallas_available()
+
+
 def nn1_dual(adv: jax.Array, ori: jax.Array):
     """Both 1-NN directions at once: (a2o_idx [b, n], o2a_idx [b, m]).
 
@@ -140,7 +151,7 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
     n = adv.shape[-2]
     if _pallas_disabled("nn1"):
         pass
-    elif _pallas_ok(m, 2) and n % 256 == 0 or (_pallas_ok(m, 2) and n % 8 == 0 and n <= 256):
+    elif _nn1_ok(m) and n % 256 == 0 or (_nn1_ok(m) and n % 8 == 0 and n <= 256):
         from geoa3_tpu.ops.pallas.nn1_kernel import (
             nn1_dual_pallas,
             nn1_select_default,
@@ -156,14 +167,17 @@ def nn1_dual(adv: jax.Array, ori: jax.Array):
 
 
 def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
-    """nn1_dual plus an exact gather of constant per-ori payload planes at
-    the adv->ori argmin: (a2o_idx [b, n], o2a_idx [b, m], gp [b, 8, n])
-    with gp[b, p, i] = payload[b, p, a2o_idx[b, i]].
+    """nn1_dual plus exact gathers of constant planes at BOTH argmins:
+    (a2o_idx [b, n], o2a_idx [b, m], gp [b, 8, n], op [b, 8, m]) with
+    gp[b, p, i] = payload[b, p, a2o_idx[b, i]] and
+    op[b, c, j] = adv[b, o2a_idx[b, j], c] (rows 3..7 zero).
 
     The attack packs (ori x/y/z, normal x/y/z, kappa_ori, 0) so the fused
-    loss's a2o-side row-gathers ride the 1-NN kernel's VMEM-resident
-    distance block instead of XLA dynamic-row gathers. `payload` must be
-    stop-gradient constants (the gather is non-differentiable).
+    loss's a2o-side row-gathers — AND the o2a-side chamfer coordinate
+    gather (previously an XLA dynamic-row take, ~0.14 ms/step at
+    [32, 1024] and growing with m on dense clouds) — ride the 1-NN
+    kernel's VMEM-resident distance block. All outputs are stop-gradient
+    constants; for a differentiable view of `op` use o2a_coord_planes.
     """
     adv = jax.lax.stop_gradient(adv)
     ori = jax.lax.stop_gradient(ori)
@@ -171,7 +185,7 @@ def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
     m = ori.shape[-2]
     n = adv.shape[-2]
     if not _pallas_disabled("nn1") and (
-        _pallas_ok(m, 2)
+        _nn1_ok(m)
         and (n % 256 == 0 or (n % 8 == 0 and n <= 256))
     ):
         from geoa3_tpu.ops.pallas.nn1_kernel import (
@@ -186,7 +200,43 @@ def nn1_dual_payload(adv: jax.Array, ori: jax.Array, payload: jax.Array):
     a2o = jnp.argmin(d, axis=-1).astype(jnp.int32)
     o2a = jnp.argmin(d, axis=-2).astype(jnp.int32)
     gp = jnp.take_along_axis(payload, a2o[:, None, :], axis=-1)
-    return a2o, o2a, gp
+    o2a_nn = jnp.take_along_axis(
+        adv, o2a[..., None].astype(jnp.int32), axis=1
+    )  # [b, m, 3]
+    op = jnp.concatenate(
+        [
+            jnp.swapaxes(o2a_nn, 1, 2),
+            jnp.zeros((adv.shape[0], 5, m), adv.dtype),
+        ],
+        axis=1,
+    )
+    return a2o, o2a, gp, op
+
+
+@jax.custom_vjp
+def o2a_coord_planes(
+    points: jax.Array, idx: jax.Array, op: jax.Array
+) -> jax.Array:
+    """Differentiable view of the o2a coordinate planes: points [b, n, 3],
+    idx [b, m] (o2a argmins), op [b, 8, m] (the kernel's exact copies of
+    points rows at idx) -> op, with the backward scatter-adding the plane
+    cotangents into `points` rows (the Pallas one-hot-matmul scatter —
+    same route as gather_rows3's backward). idx/op get no gradient."""
+    del points, idx
+    return op
+
+
+def _o2a_coord_planes_fwd(points, idx, op):
+    return op, (idx, points.shape[1])
+
+
+def _o2a_coord_planes_bwd(res, ct):
+    idx, n = res
+    g, _ = _gather_rows3_bwd((idx, n), ct[:, :3].transpose(0, 2, 1))
+    return g, None, None
+
+
+o2a_coord_planes.defvjp(_o2a_coord_planes_fwd, _o2a_coord_planes_bwd)
 
 
 class KNNPlanes(NamedTuple):

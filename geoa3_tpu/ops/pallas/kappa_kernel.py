@@ -601,7 +601,7 @@ def _kappa_fm_vjp_bwd(k, row_block, res, g):
 kappa_frommask_pallas.defvjp(_kappa_fm_vjp_fwd, _kappa_fm_vjp_bwd)
 
 def _curv_term_frommask_kernel(
-    q_ref, pt_ref, nrm_ref, mask_ref, ref_ref, sq_ref, out_ref,
+    q_ref, pt_ref, nrm_ref, mask_ref, ref_ref, sq_ref, out_ref, cen_ref,
     *, k: int, npts: int
 ):
     """Fused curvature TERM: per-row squared diff (kappa_i - ref_i)^2 AND the
@@ -618,17 +618,29 @@ def _curv_term_frommask_kernel(
     VMEM-resident. The engine-level backward degenerates to scaling the
     planes by the per-instance scalar cotangent (const * weight / batch).
 
-    Numerics: identical operations to _kappa_frommask_kernel +
-    _kappa_bwd_kernel except the cotangent product order — today XLA
-    computes g = c_b * 2(kappa-ref)/npts outside and the kernel multiplies
-    by 1/k; here g_loc = 2(kappa-ref)/npts is in-kernel and c_b multiplies
-    the planes outside (<= 1 ULP per element reordering).
+    Round-5 restructure (runs/bench_curv_term.py, 0.940 -> 0.829 ms/call
+    at [32, 1024, k=16]):
+      * d0 comes from DIRECT per-plane squared differences on the VPU (the
+        selection already happened — the mask is an input — so expansion-
+        bitwise-compatibility is moot, and the direct form is exactly what
+        the reference's normalize computes: no q2+p2-2qp cancellation).
+        Values move ~3e-7, gradient planes ~1e-3 of max vs the expansion
+        form (both inside the kernel's documented tolerances).
+      * the center-side gradient is written to its own (1, 8, R) output
+        block at this row block's own columns (a STATIC block write) and
+        summed with the neighbour-side planes outside — the one-hot bf16
+        matmul scatter disappears.
+
+    The self column still contributes exactly zero: sdiag is extracted from
+    pn's own diagonal (bitwise-equal values), and d0's self entry is an
+    exact 0.0 in the direct form.
 
     q_ref [1, R, 3]; pt_ref [1, 8, m] (rows 0..2 = cloud x/y/z);
     nrm_ref [1, R, 3]; mask_ref [1, R, m] int8; ref_ref [1, 1, R]
     (the 1-NN ori kappa for these rows); sq_ref [1, 1, R] (squared diff
-    out); out_ref [1, 8, m] f32 accumulated gradient planes (rows 3..7
-    stay zero).
+    out); out_ref [1, 8, m] f32 accumulated neighbour-side planes;
+    cen_ref [1, 8, R] center-side planes at this block's columns (rows
+    3..7 of both stay zero).
     """
     j = pl.program_id(1)
     q = q_ref[0]  # [R, 3]
@@ -640,15 +652,11 @@ def _curv_term_frommask_kernel(
     m = pt.shape[1]
 
     p3 = pt[:3]  # [3, m]
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    p2 = jnp.sum(p3 * p3, axis=0)[None, :]
-    # near-neighbour cancellation: keep the distance dot at HIGHEST (see
-    # _kappa_bwd_kernel)
-    qp = jax.lax.dot_general(
-        q, p3, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
+    d0 = (
+        (q[:, 0:1] - p3[0][None, :]) ** 2
+        + (q[:, 1:2] - p3[1][None, :]) ** 2
+        + (q[:, 2:3] - p3[2][None, :]) ** 2
     )
-    d0 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
     r = jnp.sqrt(d0)
     rc = jnp.maximum(r, _EPS)
 
@@ -684,17 +692,12 @@ def _curv_term_frommask_kernel(
         + w2p
         - jnp.sum(w2, axis=1)[:, None] * q
     )  # [R, 3]
-    gqh = gq.astype(jnp.bfloat16)
-    gql = (gq - gqh.astype(jnp.float32)).astype(jnp.bfloat16)
-    ohb = oh.astype(jnp.bfloat16)
-    _f = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dn_r,
-        preferred_element_type=jnp.float32, precision=_PDEF,
-    )
-    gcen = _f(gqh, ohb) + _f(gql, ohb)  # [3, m]
+    cen_ref[0] = jnp.concatenate(
+        [gq.T, jnp.zeros((5, R), jnp.float32)], axis=0
+    )  # [8, R] at this block's own columns
 
     contrib = jnp.concatenate(
-        [gp + gcen, jnp.zeros((5, m), jnp.float32)], axis=0
+        [gp, jnp.zeros((5, m), jnp.float32)], axis=0
     )  # [8, m]
 
     @pl.when(j == 0)
@@ -717,7 +720,7 @@ def _curv_term_frommask_call(cloud, normal, ref, mask, k, row_block):
         ],
         axis=1,
     )  # [b, 8, n]
-    sq, planes = pl.pallas_call(
+    sq, planes, cen = pl.pallas_call(
         functools.partial(_curv_term_frommask_kernel, k=k, npts=n),
         grid=grid,
         in_specs=[
@@ -730,9 +733,11 @@ def _curv_term_frommask_call(cloud, normal, ref, mask, k, row_block):
         out_specs=[
             pl.BlockSpec((1, 1, row_block), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, row_block), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
         ],
         compiler_params=(
@@ -742,7 +747,7 @@ def _curv_term_frommask_call(cloud, normal, ref, mask, k, row_block):
         ),
     )(cloud.astype(jnp.float32), pt, normal.astype(jnp.float32), mask,
       ref.astype(jnp.float32)[:, None, :])
-    return jnp.sum(sq[:, 0], axis=-1) / n, planes
+    return jnp.sum(sq[:, 0], axis=-1) / n, planes + cen
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

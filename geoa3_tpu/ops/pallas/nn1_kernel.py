@@ -172,11 +172,29 @@ def nn1_dual_pallas(
     return a2o[:, 0], o2a[:, 0]
 
 
+def _sel_copy3(src8, oh_bf16, dn):
+    """Exact f32 copy of payload planes through a bf16 one-hot: 3 bf16
+    mantissa segments, single non-zero term per output column."""
+    acc = None
+    rest = src8
+    for _ in range(3):
+        h = rest.astype(jnp.bfloat16)
+        rest = rest - h.astype(jnp.float32)
+        t = jax.lax.dot_general(
+            h, oh_bf16, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _nn1_payload_kernel(
-    adv_ref, ori_ref, pay_ref, a2o_ref, gp_ref, o2a_min_ref, o2a_idx_ref,
+    adv_ref, ori_ref, pay_ref, qp_ref,
+    a2o_ref, gp_ref, o2a_min_ref, o2a_idx_ref, op_ref,
     *, R: int, nblk: int, select: str
 ):
-    """Dual 1-NN + constant-payload gather at the adv->ori argmin.
+    """Dual 1-NN + constant-payload gathers at BOTH argmin directions.
 
     pay_ref [1, 8, m]: constant per-ori-point payload planes (the attack
     packs ori x/y/z, normal x/y/z, kappa_ori, zero). gp_ref [1, 8, R]:
@@ -187,6 +205,15 @@ def _nn1_payload_kernel(
     (one VPU pass) and three non-overlapping bf16-split MXU dots
     reconstruct the f32 payload bitwise (single non-zero term per column);
     the dots are tiny (M=8) and overlap the next block's VPU reductions.
+
+    qp_ref [1, 8, R]: THIS adv row block's coordinate planes (rows 0..2 =
+    x/y/z; precomputed outside to avoid an in-kernel transpose).
+    op_ref [1, 8, m] (revisited): adv coordinate planes of each ori
+    column's nearest adv row — the o2a-side chamfer gather
+    (ops.gather_rows3's forward, an XLA dynamic-row take that cost
+    ~0.14 ms/step at [32, 1024] and grows with m on dense clouds). Folded
+    across row blocks with the same better-mask as the o2a argmin, so
+    op always matches o2a_idx.
     """
     j = pl.program_id(1)
     q = adv_ref[0]  # [R, 3]
@@ -209,53 +236,57 @@ def _nn1_payload_kernel(
 
     colT = jax.lax.broadcasted_iota(jnp.int32, (m, R), 0)
     ohT = (colT == first[None, :]).astype(jnp.bfloat16)  # [m, R]
-    pay = pay_ref[0]  # [8, m] f32
-    acc = None
-    rest = pay
-    for _ in range(3):  # 3 bf16 mantissa segments -> exact f32 copies
-        h = rest.astype(jnp.bfloat16)
-        rest = rest - h.astype(jnp.float32)
-        t = jax.lax.dot_general(
-            h, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc = t if acc is None else acc + t
-    gp_ref[0] = acc  # [8, R]
+    dn_c = (((1,), (0,)), ((), ()))
+    gp_ref[0] = _sel_copy3(pay_ref[0], ohT, dn_c)  # [8, R]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
+    rowl = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0)  # local row ids
+    row = rowl + j * R
     if select == "packed":
         nb = max(1, (n - 1).bit_length())
         cpk = jnp.min(_pack(d, row, nb), axis=0)
+        loc = jnp.bitwise_and(cpk, (1 << nb) - 1) - j * R  # [m] local winner
+        ohc = (rowl == loc[None, :]).astype(jnp.bfloat16)  # [R, m]
+        sel = _sel_copy3(qp_ref[0], ohc, dn_c)  # [8, m] this block's coords
 
         @pl.when(j == 0)
         def _initp():
             o2a_min_ref[0, 0] = cpk
             o2a_idx_ref[0, 0] = jnp.bitwise_and(cpk, (1 << nb) - 1)
+            op_ref[0] = sel
 
         @pl.when(j > 0)
         def _foldp():
-            best = jnp.minimum(o2a_min_ref[0, 0], cpk)
-            o2a_min_ref[0, 0] = best
-            o2a_idx_ref[0, 0] = jnp.bitwise_and(best, (1 << nb) - 1)
+            prev = o2a_min_ref[0, 0]
+            better = cpk < prev  # packed keys: min == strictly-less fold
+            o2a_min_ref[0, 0] = jnp.where(better, cpk, prev)
+            o2a_idx_ref[0, 0] = jnp.bitwise_and(
+                jnp.where(better, cpk, prev), (1 << nb) - 1
+            )
+            op_ref[0] = jnp.where(better[None, :], sel, op_ref[0])
 
         return
 
     cmin = jnp.min(d, axis=0)
-    cidx = jnp.min(jnp.where(d == cmin[None, :], row, 1 << 30), axis=0)
+    cloc = jnp.min(jnp.where(d == cmin[None, :], rowl, 1 << 30), axis=0)
+    cidx = cloc + j * R
+    ohc = (rowl == cloc[None, :]).astype(jnp.bfloat16)  # [R, m]
+    sel = _sel_copy3(qp_ref[0], ohc, dn_c)  # [8, m]
 
     @pl.when(j == 0)
     def _init():
         o2a_min_ref[0, 0] = cmin
         o2a_idx_ref[0, 0] = cidx.astype(jnp.int32)
+        op_ref[0] = sel
 
     @pl.when(j > 0)
     def _fold():
         prev_min = o2a_min_ref[0, 0]
         prev_idx = o2a_idx_ref[0, 0]
+        # strictly-less keeps the earliest (lowest-index) argmin on ties
         better = cmin < prev_min
         o2a_min_ref[0, 0] = jnp.where(better, cmin, prev_min)
         o2a_idx_ref[0, 0] = jnp.where(better, cidx.astype(jnp.int32), prev_idx)
+        op_ref[0] = jnp.where(better[None, :], sel, op_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "select"))
@@ -264,11 +295,13 @@ def nn1_dual_payload_pallas(
     row_block: int = 256, select: str = "exact",
 ):
     """adv [b, n, 3], ori [b, m, 3], payload [b, 8, m] (constant planes) ->
-    (a2o_idx [b, n], o2a_idx [b, m], gathered payload [b, 8, n]).
+    (a2o_idx [b, n], o2a_idx [b, m], gathered payload gp [b, 8, n],
+    o2a adv-coordinate planes op [b, 8, m]).
 
-    gathered[b, p, i] = payload[b, p, a2o_idx[b, i]] — exact f32 copies
-    (the one-hot build consumes whichever argmin `select` produced, so the
-    copies stay exact in packed mode too).
+    gp[b, p, i] = payload[b, p, a2o_idx[b, i]] and
+    op[b, c, j] = adv[b, o2a_idx[b, j], c] (rows 3..7 zero) — exact f32
+    copies (the one-hot builds consume whichever argmins `select`
+    produced, so the copies stay exact in packed mode too).
     """
     b, n, _ = adv.shape
     m = ori.shape[1]
@@ -276,7 +309,14 @@ def nn1_dual_payload_pallas(
     assert n % R == 0, "n must divide by row_block"
     grid = (b, n // R)
 
-    a2o, gp, _, o2a = pl.pallas_call(
+    advf = adv.astype(jnp.float32)
+    # adv coordinate planes [b, 8, n] (rows 3..7 zero): the kernel's
+    # per-block qp input — sliced by the grid, no in-kernel transpose
+    qp = jnp.concatenate(
+        [jnp.swapaxes(advf, 1, 2), jnp.zeros((b, 5, n), jnp.float32)],
+        axis=1,
+    )
+    a2o, gp, _, o2a, op = pl.pallas_call(
         functools.partial(
             _nn1_payload_kernel, R=R, nblk=n // R, select=select
         ),
@@ -285,12 +325,14 @@ def nn1_dual_payload_pallas(
             pl.BlockSpec((1, R, 3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 8, m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, R), lambda i, j: (i, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, R), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 8, R), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0)),  # revisited
             pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0)),  # revisited
+            pl.BlockSpec((1, 8, m), lambda i, j: (i, 0, 0)),  # revisited
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
@@ -300,9 +342,10 @@ def nn1_dual_payload_pallas(
                 jnp.int32 if select == "packed" else jnp.float32,
             ),
             jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, m), jnp.float32),
         ],
     )(
-        adv.astype(jnp.float32), ori.astype(jnp.float32),
-        payload.astype(jnp.float32),
+        advf, ori.astype(jnp.float32),
+        payload.astype(jnp.float32), qp,
     )
-    return a2o[:, 0], o2a[:, 0], gp
+    return a2o[:, 0], o2a[:, 0], gp, op

@@ -112,8 +112,8 @@ def check_nn1(rng):
     adv, ori = _cloud(rng, 4, 1024), _cloud(rng, 4, 1024)
     pay = jnp.asarray(rng.randn(4, 8, 1024).astype(np.float32))
 
-    a2o_k, o2a_k, gp_k = jax.jit(ops.nn1_dual_payload)(adv, ori, pay)
-    a2o_o, o2a_o, gp_o = _pinned_hi(ops.nn1_dual_payload)(adv, ori, pay)
+    a2o_k, o2a_k, gp_k, op_k = jax.jit(ops.nn1_dual_payload)(adv, ori, pay)
+    a2o_o, o2a_o, gp_o, op_o = _pinned_hi(ops.nn1_dual_payload)(adv, ori, pay)
     ak, ao = np.asarray(a2o_k), np.asarray(a2o_o)
     m_a2o = float((ak != ao).mean())
     m_o2a = float((np.asarray(o2a_k) != np.asarray(o2a_o)).mean())
@@ -134,6 +134,11 @@ def check_nn1(rng):
     gp = float(
         (np.abs(np.asarray(gp_k) - np.asarray(gp_o)) * agree).max()
     )
+    # o2a-side adv-coordinate planes: exact where the o2a picks agree
+    o2a_agree = (np.asarray(o2a_k) == np.asarray(o2a_o))[:, None, :]
+    op_diff = float(
+        (np.abs(np.asarray(op_k) - np.asarray(op_o)) * o2a_agree).max()
+    )
     advn, orin = np.asarray(adv), np.asarray(ori)
     bidx = np.arange(advn.shape[0])[:, None]
     d_k = ((advn - orin[bidx, ak]) ** 2).sum(-1)
@@ -143,8 +148,9 @@ def check_nn1(rng):
     ) if m_a2o else 0.0
     return {"a2o_mismatch_frac": m_a2o, "o2a_mismatch_frac": m_o2a,
             "payload_max_diff_on_agree": gp, "mismatch_tie_rel": tie_rel,
+            "o2a_coords_max_diff_on_agree": op_diff,
             "ok": m_a2o < 1e-3 and m_o2a < 1e-3 and gp < 1e-3
-            and tie_rel < 2 ** -11}
+            and op_diff == 0.0 and tie_rel < 2 ** -11}
 
 
 @check("scatter")

@@ -163,7 +163,7 @@ class TestNN1DualKernel:
         ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
         pay = jnp.asarray(rng.randn(2, 8, 96).astype(np.float32))
         with pltpu.force_tpu_interpret_mode():
-            a2o, o2a, gp = nn1_dual_payload_pallas(
+            a2o, o2a, gp, op = nn1_dual_payload_pallas(
                 adv, ori, pay, row_block=32, select="packed"
             )
         d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
@@ -173,6 +173,13 @@ class TestNN1DualKernel:
             np.asarray(pay), np.asarray(a2o)[:, None, :], axis=-1
         )
         np.testing.assert_array_equal(np.asarray(gp), want)
+        # o2a-side adv-coordinate planes: exact copies at the o2a pick,
+        # rows 3..7 zero
+        sel = np.asarray(adv)[
+            np.arange(2)[:, None], np.asarray(o2a)
+        ].transpose(0, 2, 1)  # [b, 3, m]
+        np.testing.assert_array_equal(np.asarray(op)[:, :3], sel)
+        np.testing.assert_array_equal(np.asarray(op)[:, 3:], 0.0)
 
 
 class TestScatterNC:
@@ -865,7 +872,9 @@ class TestNN1PayloadKernel:
         ori = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
         pay = jnp.asarray(rng.randn(2, 8, 96).astype(np.float32))
         with pltpu.force_tpu_interpret_mode():
-            a2o, o2a, gp = nn1_dual_payload_pallas(adv, ori, pay, row_block=32)
+            a2o, o2a, gp, op = nn1_dual_payload_pallas(
+                adv, ori, pay, row_block=32
+            )
         d = ((np.asarray(adv)[:, :, None] - np.asarray(ori)[:, None]) ** 2).sum(-1)
         np.testing.assert_array_equal(np.asarray(a2o), d.argmin(-1))
         np.testing.assert_array_equal(np.asarray(o2a), d.argmin(-2))
@@ -874,6 +883,14 @@ class TestNN1PayloadKernel:
         )
         # payload copies are EXACT (3-split one-hot dots)
         np.testing.assert_array_equal(np.asarray(gp), want)
+        # o2a-side adv-coordinate planes: exact copies, rows 3..7 zero —
+        # the multi-row-block fold (64/32 = 2 blocks) must pick the same
+        # winner as the argmin
+        sel = np.asarray(adv)[
+            np.arange(2)[:, None], d.argmin(-2)
+        ].transpose(0, 2, 1)
+        np.testing.assert_array_equal(np.asarray(op)[:, :3], sel)
+        np.testing.assert_array_equal(np.asarray(op)[:, 3:], 0.0)
 
 
 class TestKappaKernel:
