@@ -500,7 +500,13 @@ def make_attack_fn(
             it_loss0 = jnp.full((b,), _INF, pc_ori.dtype)
             it_score0 = jnp.full((b,), -1, jnp.int32)
             n_jit = cfg.npoint if subsample else n
-            jitter0 = jnp.zeros((b, n_jit, 3), pc_ori.dtype)
+            # a scalar placeholder when jitter is off: a [b, n, 3] zeros
+            # carry costs a dead per-step copy inside the scan
+            jitter0 = (
+                jnp.zeros((b, n_jit, 3), pc_ori.dtype)
+                if cfg.is_pre_jitter_input
+                else jnp.zeros((), pc_ori.dtype)
+            )
             if lazy_mask:
                 self_idx0 = jnp.zeros((b, n, n), jnp.int8)
             elif lazy_knn:

@@ -630,10 +630,13 @@ def _curv_term_frommask_kernel(
         block at this row block's own columns (a STATIC block write) and
         summed with the neighbour-side planes outside — the one-hot bf16
         matmul scatter disappears.
-
-    The self column still contributes exactly zero: sdiag is extracted from
-    pn's own diagonal (bitwise-equal values), and d0's self entry is an
-    exact 0.0 in the direct form.
+      * sdiag comes from a direct [R, 3] rowwise dot (q_i . n_i); the self
+        column (and exact duplicates) contribute exactly zero through the
+        d0 == 0 gate on `inv` instead of a bitwise diagonal extraction —
+        d0's self entry is an exact 0.0 in the direct-difference form, and
+        the reference's 0/eps normalize zeroes those columns the same way
+        (loss_utils.py:79). This drops the [R, m] one-hot build + masked
+        reduce.
 
     q_ref [1, R, 3]; pt_ref [1, 8, m] (rows 0..2 = cloud x/y/z);
     nrm_ref [1, R, 3]; mask_ref [1, R, m] int8; ref_ref [1, 1, R]
@@ -659,14 +662,18 @@ def _curv_term_frommask_kernel(
     )
     r = jnp.sqrt(d0)
     rc = jnp.maximum(r, _EPS)
+    # inv carries the zero-distance gate: self and exact-duplicate columns
+    # (d0 == 0, an EXACT zero in the direct-difference form) contribute 0
+    # to kappa AND to both gradient weights — the reference's 0/eps
+    # normalize produces the same zero contribution (loss_utils.py:79), and
+    # this replaces the one-hot diagonal extraction: sdiag no longer has to
+    # be bitwise pn_ii, so it comes from a cheap [R, 3] rowwise dot.
+    inv = jnp.where(d0 > 0.0, 1.0 / rc, 0.0)
 
     pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))  # [R, m]
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, m), 1)
-    grow = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + j * R
-    oh = (col == grow).astype(jnp.float32)  # row i's own column
-    sdiag = jnp.sum(oh * pn, axis=-1)
+    sdiag = jnp.sum(nv * q, axis=-1)  # [R]: q_i . n_i directly
     dot = pn - sdiag[:, None]
-    a = jnp.abs(dot) / rc
+    a = jnp.abs(dot) * inv
 
     # --- forward value + local cotangent (row-resident) ---
     kappa = jnp.sum(maskf * a, axis=-1) / k  # [R]
@@ -676,8 +683,10 @@ def _curv_term_frommask_kernel(
 
     # --- analytic backward, same math as _kappa_bwd_kernel ---
     gk = (g / k)[:, None]  # [R, 1]
-    w1 = maskf * gk * jnp.sign(dot) / rc  # [R, m]
-    w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)  # [R, m]
+    w1 = maskf * gk * jnp.sign(dot) * inv  # [R, m]
+    # the r > eps clamp-gate of the composed backward (denominator grad
+    # stops below eps); inv already zeroes d0 == 0 columns
+    w2 = maskf * gk * a * inv * jnp.where(r > _EPS, inv, 0.0)  # [R, m]
 
     dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
     gp = (
