@@ -77,6 +77,26 @@ RUNGS = [
                          initial_const=10.0)),
     ("margin_bi20_c100", dict(cls_loss_type="Margin", binary_max_steps=20,
                               initial_const=100.0)),
+    # ---- round-5 heavy rungs: the reference's remaining attack machinery,
+    # never previously tried on the survivors (VERDICT r04 next-round #4) --
+    # pro-grad projection of the offset onto the ori tangent planes
+    # (reference geoA3_attack.py:341-352)
+    ("margin_bi20_prograd", dict(cls_loss_type="Margin", binary_max_steps=20,
+                                 initial_const=10.0, is_pro_grad=True)),
+    # tangent-plane jitter refreshed every 50 steps (reference :312-317)
+    ("margin_bi20_jitter", dict(cls_loss_type="Margin", binary_max_steps=20,
+                                initial_const=10.0,
+                                is_pre_jitter_input=True)),
+    # partial-var patch re-selection (reference :239-262) at the reference
+    # default patch size and a wider patch
+    ("margin_bi10_partialvar_k3", dict(cls_loss_type="Margin",
+                                       binary_max_steps=10,
+                                       initial_const=10.0,
+                                       is_partial_var=True, knn_range=3)),
+    ("margin_bi10_partialvar_k64", dict(cls_loss_type="Margin",
+                                        binary_max_steps=10,
+                                        initial_const=10.0,
+                                        is_partial_var=True, knn_range=64)),
 ]
 B = 54
 report = {"initial_failures": len(pairs), "rungs": {}}
@@ -90,7 +110,13 @@ for rung_name, kw in RUNGS:
         dis_loss_type="CD", dis_loss_weight=1.0, hd_loss_weight=0.1,
         curv_loss_weight=1.0, curv_loss_knn=16, **kw,
     )
-    fn = make_attack_fn(logits_fn, cfg, host_binary_loop=True)
+    if kw.get("is_partial_var"):
+        # partial-var runs as ONE fused scan^2 program (the host-loop entry
+        # routes it around the per-search-step jit); at ~4 ms/step x
+        # bi10 x 500 the device program stays ~20 s, inside worker limits
+        fn = jax.jit(make_attack_fn(logits_fn, cfg))
+    else:
+        fn = make_attack_fn(logits_fn, cfg, host_binary_loop=True)
     t0 = time.time()
     still_failing = []
     n_ok = 0
@@ -146,6 +172,74 @@ for rung_name, kw in RUNGS:
     report["remaining"] = still_failing
     print(f"{rung_name}: closed {n_ok}, {len(pairs)} remain "
           f"({report['rungs'][rung_name]['time_s']}s)", flush=True)
+
+# ---- second-victim diagnostic: are the residuals victim-DRAW-specific? --
+# Train a second 100%-clean-accuracy victim from a different seed and
+# re-attack the surviving pairs against it (Margin bi20). Closures here do
+# NOT count toward the artifact (it is tied to victim 1) — they are
+# evidence that the survivors are a property of the particular victim draw
+# (the plateau/confidence-wall pathology), not of the attack machinery.
+if pairs:
+    t0 = time.time()
+    v2dir = "Pretrained2/PointNet/1024"
+    if not os.path.isfile(os.path.join(v2dir, "model_best.msgpack")):
+        from geoa3_tpu.cli.main_train import build_parser as tp
+        from geoa3_tpu.cli.main_train import main as train_main
+
+        targs = tp().parse_args([
+            "--datadir", "synthetic:100:10", "--npoint", "1024",
+            "--epochs", "15", "-b", "32", "--arch", "PointNet", "-c", "40",
+            "--random_seed", "1", "--modeldir", v2dir,
+        ])
+        train_main(targs)
+    variables2 = load_victim_variables(v2dir, arch="PointNet")
+    logits2_fn = make_eval_fn(build_model("PointNet", 40, N), variables2)
+    idx_all = sorted({i for i, _ in pairs})
+    preds2 = np.asarray(
+        jnp.argmax(logits2_fn(jnp.asarray(data[idx_all])), axis=-1)
+    )
+    ok_inst = {i for i, p in zip(idx_all, preds2) if p == label[i]}
+    pairs2 = [(i, t) for i, t in pairs if i in ok_inst]
+    cfg2 = AttackConfig(
+        attack_label="All", classes=40, npoint=N, iter_max_steps=500,
+        dis_loss_type="CD", dis_loss_weight=1.0, hd_loss_weight=0.1,
+        curv_loss_weight=1.0, curv_loss_knn=16, cls_loss_type="Margin",
+        binary_max_steps=20, initial_const=10.0,
+    )
+    fn2 = make_attack_fn(logits2_fn, cfg2, host_binary_loop=True)
+    closed2 = 0
+    for s in range(0, len(pairs2), B):
+        chunk = pairs2[s : s + B]
+        nb = len(chunk)
+        idx = [i for i, _ in chunk]
+        pc, nrm = data[idx], normal[idx]
+        gt = label[idx]
+        tgt = np.asarray([t for _, t in chunk])
+        if nb < B:
+            pad = B - nb
+            pc = np.concatenate([pc, pc[:1].repeat(pad, 0)])
+            nrm = np.concatenate([nrm, nrm[:1].repeat(pad, 0)])
+            gt = np.concatenate([gt, gt[:1].repeat(pad, 0)])
+            tgt = np.concatenate([tgt, tgt[:1].repeat(pad, 0)])
+        rng, akey = jax.random.split(rng)
+        res = fn2(jnp.asarray(pc), jnp.asarray(nrm), jnp.asarray(gt),
+                  jnp.asarray(tgt), akey)
+        preds = np.asarray(
+            jnp.argmax(logits2_fn(res.best_attack), axis=-1)
+        )
+        succ = np.asarray(res.success)
+        closed2 += sum(
+            1 for kk in range(nb) if succ[kk] and preds[kk] == chunk[kk][1]
+        )
+    report["second_victim"] = {
+        "survivors_attempted": len(pairs2),
+        "survivors_skipped_victim2_misclassifies_gt":
+            len(pairs) - len(pairs2),
+        "closed_on_victim2": closed2,
+        "time_s": round(time.time() - t0, 1),
+    }
+    print(f"second-victim diagnostic: {closed2}/{len(pairs2)} survivors "
+          f"close on an independently-drawn victim", flush=True)
 
 final_closed = len(closed) + sum(r["closed"] for r in report["rungs"].values())
 report["final"] = {
