@@ -10,9 +10,9 @@ from collections import defaultdict
 
 _ARCH = os.environ.get("ARCH", "PointNetPP")
 _DIR = {"PointNetPP_MSG": "msg", "PointNetPP": "pnpp", "PointNet": "flagship"}
-os.chdir(os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), _DIR[_ARCH],
-))
+_d = os.path.join(os.path.dirname(os.path.abspath(__file__)), _DIR[_ARCH])
+os.makedirs(_d, exist_ok=True)
+os.chdir(_d)
 sys.path.insert(0, "/root/repo")
 import jax
 
@@ -32,7 +32,15 @@ DTYPE = os.environ.get("DTYPE", "")  # "bf16" -> bf16 victim
 N = 1024
 
 model = build_model(ARCH, 40, N)
-variables = load_victim_variables(f"Pretrained/{ARCH}/1024", arch=ARCH)
+try:
+    variables = load_victim_variables(f"Pretrained/{ARCH}/1024", arch=ARCH)
+except Exception:
+    # per-step time is weight-independent (same program/shapes): random
+    # init when the e2e workspace has not been rebuilt this round
+    print("no checkpoint — random-init victim (timing-only)", flush=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, N, 3)), train=False
+    )
 logits_fn = make_eval_fn(
     model, variables, dtype=jnp.bfloat16 if DTYPE == "bf16" else None
 )
@@ -40,12 +48,20 @@ logits_fn = make_eval_fn(
 # judged by the bf16 victim fails the f32 one on ~half the instances)
 eval_fn = make_eval_fn(model, variables) if DTYPE == "bf16" else None
 
-import scipy.io as sio
+try:
+    import scipy.io as sio
 
-d = sio.loadmat(f"Data/modelnet10_250instances1024_{ARCH}.mat")
-pc = jnp.asarray(d["data"][:B].transpose(0, 2, 1))
-nrm = jnp.asarray(d["normal"][:B].transpose(0, 2, 1))
-gt = jnp.asarray(d["label"][:B].reshape(-1))
+    d = sio.loadmat(f"Data/modelnet10_250instances1024_{ARCH}.mat")
+    pc = jnp.asarray(d["data"][:B].transpose(0, 2, 1))
+    nrm = jnp.asarray(d["normal"][:B].transpose(0, 2, 1))
+    gt = jnp.asarray(d["label"][:B].reshape(-1))
+except Exception:
+    from geoa3_tpu.data.synthetic import sample_shape
+
+    r = np.random.RandomState(0)
+    cl, ns = zip(*(sample_shape(i % 10, N, r) for i in range(B)))
+    pc, nrm = jnp.asarray(np.stack(cl)), jnp.asarray(np.stack(ns))
+    gt = jnp.asarray(r.randint(0, 40, B))
 
 cfg = AttackConfig(
     attack_label="Untarget", classes=40, npoint=N,
