@@ -121,11 +121,17 @@ def _nn1_rb(n: int, m: int) -> int:
     subsample-opt attack, runs/bench_dense.py). Budget R*m <= 2^20
     elements: exactly the headline shape's proven-to-compile product."""
     budget = 1 << 20
-    cands = [r for r in (1024, 512, 256, 128, 64, 32, 16, 8) if r <= n]
+    # 128 is the row-block FLOOR when n is lane-aligned: the payload
+    # kernel's per-block qp input (1, 8, R) needs R % 128 == 0 or R == n
+    # (Mosaic block-shape rule), and R=128 x m=12288 f32 tiles stay well
+    # under the kernels' 64 MB vmem limit even past the element budget
+    cands = [r for r in (1024, 512, 256, 128) if r <= n and n % r == 0]
     for r in cands:
-        if n % r == 0 and r * m <= budget:
+        if r * m <= budget:
             return r
-    return next((r for r in cands if n % r == 0), n)
+    if cands:
+        return cands[-1]
+    return n  # small / unaligned n: full rows (block == array dims)
 
 
 def _nn1_ok(m: int) -> bool:

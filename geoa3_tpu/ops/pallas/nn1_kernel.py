@@ -20,6 +20,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+
+    _CP = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+except Exception:  # pragma: no cover
+    _CP = None
+
 _INF = 3.4e38
 
 
@@ -168,6 +175,7 @@ def nn1_dual_pallas(
             ),
             jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
         ],
+        compiler_params=_CP,
     )(adv.astype(jnp.float32), ori.astype(jnp.float32))
     return a2o[:, 0], o2a[:, 0]
 
@@ -344,6 +352,7 @@ def nn1_dual_payload_pallas(
             jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
             jax.ShapeDtypeStruct((b, 8, m), jnp.float32),
         ],
+        compiler_params=_CP,
     )(
         advf, ori.astype(jnp.float32),
         payload.astype(jnp.float32), qp,
