@@ -97,14 +97,26 @@ def run_dense(n: int, batch: int, steps: int) -> dict:
         "ms_per_step": round(per_step, 2),
         "prologue_ms": round(prologue, 1),
         "compile_s": round(compile_s, 1),
-        "kappa_kernel_gated_off": n > 4096 or n % 128 != 0,
+        # round 5: the EXACT-shape kappa gate still rejects dense n, but
+        # the prologue rides the sentinel-padded kernel and the per-step
+        # 1-NN rides the dense-gated dual-1NN kernel (PARITY round-5)
+        "kappa_exact_gate_off": n > 4096 or n % 128 != 0,
     }
 
 
 if __name__ == "__main__":
     shapes = [int(a) for a in sys.argv[1:]] or [5000, 10000]
     steps = int(os.environ.get("GEOA3_BENCH_STEPS", 50))
+    bset = os.environ.get("GEOA3_DENSE_BATCH")  # e.g. "8" or "4,8,16"
     for n in shapes:
-        # batch sized to keep the [b, n, n] distance/mask residuals in HBM
-        b = 8 if n <= 5000 else 4
-        print(json.dumps(run_dense(n, b, steps)), flush=True)
+        # default batch mirrors the reference's dense-config memory
+        # conservatism; GEOA3_DENSE_BATCH sweeps it (the kernels no longer
+        # materialise [b, n, m] matrices, so larger batches amortise the
+        # victim+FPS fixed costs)
+        bs = (
+            [int(x) for x in bset.split(",")]
+            if bset
+            else [8 if n <= 5000 else 4]
+        )
+        for b in bs:
+            print(json.dumps(run_dense(n, b, steps)), flush=True)
