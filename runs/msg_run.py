@@ -4,7 +4,9 @@ shapes, distill, full-budget untargeted attack.
 Mirrors runs/pnpp_run.py with --arch PointNetPP_MSG
 (reference Model/PointNetPP_msg.py:9-47)."""
 import os, sys, time
-os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "msg"))
+_d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "msg")
+os.makedirs(_d, exist_ok=True)
+os.chdir(_d)
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,7 +1,9 @@
 """PN++ SSG end-to-end (BASELINE config 4): train on synthetic shapes,
 distill, full-budget untargeted attack."""
 import os, sys, time
-os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "pnpp"))
+_d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pnpp")
+os.makedirs(_d, exist_ok=True)
+os.chdir(_d)
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
