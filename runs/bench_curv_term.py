@@ -54,7 +54,8 @@ REPS = int(os.environ.get("REPS", 40))
 
 def _kernel_variant(
     q_ref, pt_ref, nrm_ref, mask_ref, ref_ref, sq_ref, out_ref, cen_ref,
-    *, k, npts, directd, blockw, packmm=False, sdiagr=False
+    *, k, npts, directd, blockw, packmm=False, sdiagr=False, dsdiag=False,
+    rsq=False,
 ):
     j = pl.program_id(1)
     q = q_ref[0]
@@ -82,11 +83,27 @@ def _kernel_variant(
             preferred_element_type=jnp.float32, precision=_HI,
         )
         d0 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
-    r = jnp.sqrt(d0)
-    rc = jnp.maximum(r, _EPS)
+    if rsq:
+        # gated rsqrt: 1/max(sqrt(d0), eps) == min(rsqrt(d0), 1/eps) in real
+        # arithmetic (1-ulp class rounding differences); kills the sqrt AND
+        # the [R, m] divide, and the w2 clamp-gate r > eps becomes
+        # d0 > eps^2 — r never materialises
+        inv = jnp.where(
+            d0 > 0.0, jnp.minimum(jax.lax.rsqrt(d0), 1.0 / _EPS), 0.0
+        )
+        r = rc = None
+    else:
+        r = jnp.sqrt(d0)
+        rc = jnp.maximum(r, _EPS)
+        inv = jnp.where(d0 > 0.0, 1.0 / rc, 0.0) if dsdiag else None
 
     pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))
-    if sdiagr:
+    if dsdiag or rsq:
+        # shipped round-5 form: sdiag from a direct [R, 3] rowwise dot; the
+        # d0 == 0 gate on inv zeroes self/duplicate columns
+        sdiag = jnp.sum(nv * q, axis=-1)
+        oh = None
+    elif sdiagr:
         # sdiag_i = pn[i, j*R + i]: extract from an [R, R] column slice of
         # pn with a small iota mask instead of a full [R, m] one-hot
         pnr = jax.lax.dynamic_slice_in_dim(pn, j * R, R, axis=1)
@@ -102,7 +119,7 @@ def _kernel_variant(
         oh = (col == grow).astype(jnp.float32)
         sdiag = jnp.sum(oh * pn, axis=-1)
     dot = pn - sdiag[:, None]
-    a = jnp.abs(dot) / rc
+    a = jnp.abs(dot) * inv if inv is not None else jnp.abs(dot) / rc
 
     kappa = jnp.sum(maskf * a, axis=-1) / k
     diff = kappa - ref
@@ -110,8 +127,15 @@ def _kernel_variant(
     g = diff * (2.0 / npts)
 
     gk = (g / k)[:, None]
-    w1 = maskf * gk * jnp.sign(dot) / rc
-    w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)
+    if rsq:
+        w1 = maskf * gk * jnp.sign(dot) * inv
+        w2 = maskf * gk * a * inv * jnp.where(d0 > _EPS * _EPS, inv, 0.0)
+    elif inv is not None:
+        w1 = maskf * gk * jnp.sign(dot) * inv
+        w2 = maskf * gk * a * inv * jnp.where(r > _EPS, inv, 0.0)
+    else:
+        w1 = maskf * gk * jnp.sign(dot) / rc
+        w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)
 
     dn_r = (((0,), (0,)), ((), ()))
     if packmm:
@@ -176,11 +200,13 @@ def _kernel_variant(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "rb", "directd", "blockw", "packmm", "sdiagr"),
+    static_argnames=(
+        "k", "rb", "directd", "blockw", "packmm", "sdiagr", "dsdiag", "rsq"
+    ),
 )
 def _variant_call(
     cloud, normal, ref, mask, k, rb, directd, blockw, packmm=False,
-    sdiagr=False,
+    sdiagr=False, dsdiag=False, rsq=False,
 ):
     b, n, _ = cloud.shape
     grid = (b, n // rb)
@@ -190,7 +216,7 @@ def _variant_call(
     sq, planes, cen = pl.pallas_call(
         functools.partial(
             _kernel_variant, k=k, npts=n, directd=directd, blockw=blockw,
-            packmm=packmm, sdiagr=sdiagr,
+            packmm=packmm, sdiagr=sdiagr, dsdiag=dsdiag, rsq=rsq,
         ),
         grid=grid,
         in_specs=[
@@ -279,6 +305,12 @@ def main():
         "b+packmm": dict(directd=True, blockw=True, packmm=True),
         "b+sdiagr": dict(directd=True, blockw=True, sdiagr=True),
         "b+pm+sd": dict(directd=True, blockw=True, packmm=True, sdiagr=True),
+        # "ship" mirrors the shipped round-5 kernel (direct sdiag + gated
+        # reciprocal) inside this harness; "ship+rsq" replaces the
+        # sqrt/max/divide chain with one gated rsqrt (min-clamped to 1/eps)
+        # and gates the w2 clamp on d0 > eps^2 so r never materialises
+        "ship": dict(directd=True, blockw=True, dsdiag=True),
+        "ship+rsq": dict(directd=True, blockw=True, rsq=True),
     }
     only = os.environ.get("VARIANTS")
     if only:

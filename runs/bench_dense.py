@@ -109,14 +109,15 @@ if __name__ == "__main__":
     steps = int(os.environ.get("GEOA3_BENCH_STEPS", 50))
     bset = os.environ.get("GEOA3_DENSE_BATCH")  # e.g. "8" or "4,8,16"
     for n in shapes:
-        # default batch mirrors the reference's dense-config memory
-        # conservatism; GEOA3_DENSE_BATCH sweeps it (the kernels no longer
-        # materialise [b, n, m] matrices, so larger batches amortise the
-        # victim+FPS fixed costs)
+        # default batch = the round-5 sweep's measured optimum (larger
+        # batches amortise the victim+FPS fixed costs now that no [b, n, m]
+        # matrix materialises: n=5000 b=8/16/32 -> 0.589/0.684/0.711
+        # attacks/s, n=10000 b=4/8/16 -> 0.297/0.421/0.458);
+        # GEOA3_DENSE_BATCH overrides, e.g. "8" or "4,8,16"
         bs = (
             [int(x) for x in bset.split(",")]
             if bset
-            else [8 if n <= 5000 else 4]
+            else [32 if n <= 5000 else 16]
         )
         for b in bs:
             print(json.dumps(run_dense(n, b, steps)), flush=True)

@@ -301,7 +301,15 @@ class TestTopkBackends:
             for m in (1024, 2500, 5000, 10000, 30000):
                 rb = _nn1_rb(n, m)
                 assert n % rb == 0
-                assert rb * m <= (1 << 20) or rb == min(
-                    r for r in (1024, 512, 256, 128, 64, 32, 16, 8)
+                # round-5 floor: the payload kernel's (1, 8, R) qp block
+                # needs R % 128 == 0 (Mosaic block-shape rule), so the
+                # chooser never drops below 128; past-budget products ride
+                # the kernels' 64 MB vmem limit instead (R=128 x m=12288
+                # f32 tiles proven to compile, runs/bench_dense.py round 5)
+                cands = [
+                    r for r in (1024, 512, 256, 128)
                     if r <= n and n % r == 0
-                )
+                ]
+                floor = cands[-1] if cands else n
+                assert rb * m <= (1 << 20) or rb == floor
+                assert rb % 128 == 0 or rb == n
