@@ -660,15 +660,20 @@ def _curv_term_frommask_kernel(
         + (q[:, 1:2] - p3[1][None, :]) ** 2
         + (q[:, 2:3] - p3[2][None, :]) ** 2
     )
-    r = jnp.sqrt(d0)
-    rc = jnp.maximum(r, _EPS)
     # inv carries the zero-distance gate: self and exact-duplicate columns
     # (d0 == 0, an EXACT zero in the direct-difference form) contribute 0
     # to kappa AND to both gradient weights — the reference's 0/eps
     # normalize produces the same zero contribution (loss_utils.py:79), and
     # this replaces the one-hot diagonal extraction: sdiag no longer has to
     # be bitwise pn_ii, so it comes from a cheap [R, 3] rowwise dot.
-    inv = jnp.where(d0 > 0.0, 1.0 / rc, 0.0)
+    # Gated rsqrt (round-5: 0.764 -> 0.704 ms/call, runs/bench_curv_term.py
+    # "ship+rsq"): 1/max(sqrt(d0), eps) == min(rsqrt(d0), 1/eps) in real
+    # arithmetic (1-ulp-class rounding differences; values move ~1e-7,
+    # planes ~2e-5 of max vs the sqrt/divide chain), and the w2 clamp-gate
+    # r > eps becomes d0 > eps^2 below — r never materialises.
+    inv = jnp.where(
+        d0 > 0.0, jnp.minimum(jax.lax.rsqrt(d0), 1.0 / _EPS), 0.0
+    )
 
     pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))  # [R, m]
     sdiag = jnp.sum(nv * q, axis=-1)  # [R]: q_i . n_i directly
@@ -685,8 +690,9 @@ def _curv_term_frommask_kernel(
     gk = (g / k)[:, None]  # [R, 1]
     w1 = maskf * gk * jnp.sign(dot) * inv  # [R, m]
     # the r > eps clamp-gate of the composed backward (denominator grad
-    # stops below eps); inv already zeroes d0 == 0 columns
-    w2 = maskf * gk * a * inv * jnp.where(r > _EPS, inv, 0.0)  # [R, m]
+    # stops below eps), expressed on d0 (r > eps <=> d0 > eps^2); inv
+    # already zeroes d0 == 0 columns
+    w2 = maskf * gk * a * inv * jnp.where(d0 > _EPS * _EPS, inv, 0.0)
 
     dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
     gp = (
