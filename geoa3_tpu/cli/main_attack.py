@@ -322,6 +322,27 @@ def main(args) -> str:
     )
     make_output_dirs(saved_dir)
     print(f"==>Successfully created {saved_dir}")
+    if args.start_batch == 0:
+        # fresh (non-resumed) run into an existing experiment dir: clear
+        # stale per-instance outputs. The save names embed the attack's
+        # final PREDICTED class, so a re-run whose prediction flips leaves
+        # the old file beside the new one — and the post-run recount from
+        # the Mat dir (the authoritative success/CD/HD basis on a backend
+        # where batches can double-execute) would silently mix two runs'
+        # outputs (round-5 recert post-mortem: 258/309 files for 250
+        # instances).
+        stale = 0
+        for sub, ext in (("Mat", ".mat"), ("PC", ".obj"), ("Obj", ".obj")):
+            d = os.path.join(saved_dir, sub)
+            for f in os.listdir(d) if os.path.isdir(d) else ():
+                if f.startswith("adv_") and f.endswith(ext):
+                    os.remove(os.path.join(d, f))
+                    stale += 1
+        if os.path.exists(os.path.join(saved_dir, "batches_done.txt")):
+            os.remove(os.path.join(saved_dir, "batches_done.txt"))
+        if stale:
+            print(f"==>Cleared {stale} stale output files from a previous "
+                  "run (use --start_batch to resume instead)")
 
     seed = 0 if args.id == 0 else int(time.time())
     key = jax.random.PRNGKey(seed)

@@ -244,6 +244,16 @@ def test_attack_resume_start_batch(workdir, trained_victim):
     assert resumed_rate >= full_rate - 1e-6
     assert len(os.listdir(os.path.join(saved_dir, "Mat"))) >= n_mats
 
+    # a FRESH run (no --start_batch) into the same experiment dir must
+    # clear stale per-instance outputs first: the save names embed the
+    # final predicted class, so a prediction flip would otherwise leave
+    # two files for one instance and contaminate the authoritative
+    # recount-from-dir (round-5 recert post-mortem)
+    stale = os.path.join(saved_dir, "Mat", "adv_999_gt0_attack1_expect0.mat")
+    open(stale, "wb").close()
+    attack_main(ap().parse_args(base))
+    assert not os.path.exists(stale)
+
 
 def test_attack_margin_retry(workdir, trained_victim):
     """--margin_retry re-attacks failed pairs with the Margin loss and
