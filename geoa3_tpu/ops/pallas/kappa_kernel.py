@@ -637,6 +637,10 @@ def _curv_term_frommask_kernel(
         the reference's 0/eps normalize zeroes those columns the same way
         (loss_utils.py:79). This drops the [R, m] one-hot build + masked
         reduce.
+      * round-5b (0.704 -> 0.677 ms/call): zero-gated rsqrt with the dead
+        eps clamps removed + t-factored backward weights — see the inline
+        comments for the domain argument and for why the contractions stay
+        hi/lo (bf16 single-pass measured fast but quality-negative).
 
     q_ref [1, R, 3]; pt_ref [1, 8, m] (rows 0..2 = cloud x/y/z);
     nrm_ref [1, R, 3]; mask_ref [1, R, m] int8; ref_ref [1, 1, R]
@@ -666,14 +670,16 @@ def _curv_term_frommask_kernel(
     # normalize produces the same zero contribution (loss_utils.py:79), and
     # this replaces the one-hot diagonal extraction: sdiag no longer has to
     # be bitwise pn_ii, so it comes from a cheap [R, 3] rowwise dot.
-    # Gated rsqrt (round-5: 0.764 -> 0.704 ms/call, runs/bench_curv_term.py
-    # "ship+rsq"): 1/max(sqrt(d0), eps) == min(rsqrt(d0), 1/eps) in real
-    # arithmetic (1-ulp-class rounding differences; values move ~1e-7,
-    # planes ~2e-5 of max vs the sqrt/divide chain), and the w2 clamp-gate
-    # r > eps becomes d0 > eps^2 below — r never materialises.
-    inv = jnp.where(
-        d0 > 0.0, jnp.minimum(jax.lax.rsqrt(d0), 1.0 / _EPS), 0.0
-    )
+    # Zero-gated rsqrt (round-5: 0.764 -> 0.677 ms/call with the t-factored
+    # weights below, runs/bench_curv_term.py "tfac"): the reference
+    # chain is 1/max(sqrt(d0), eps) with a gradient stop below eps
+    # (loss_utils.py:79) — but the eps clamps only BIND when 0 < d0 <=
+    # eps^2 = 1e-24, which an f32 coordinate grid cannot produce:
+    # unit-scale coordinates quantise per-plane differences at ~1e-7, so
+    # any nonzero d0 is >= ~1e-14. The d0 == 0 gate (exact in the
+    # direct-difference form) is therefore the only live guard, and the
+    # 1/eps min-clamp and the w2 eps^2 compare/where both drop out.
+    inv = jnp.where(d0 > 0.0, jax.lax.rsqrt(d0), 0.0)
 
     pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))  # [R, m]
     sdiag = jnp.sum(nv * q, axis=-1)  # [R]: q_i . n_i directly
@@ -687,14 +693,24 @@ def _curv_term_frommask_kernel(
     g = diff * (2.0 / npts)  # d[sum_i diff_i^2 / npts] / d kappa_i
 
     # --- analytic backward, same math as _kappa_bwd_kernel ---
+    # t-factored weights (round-5 "tfac"): t = maskf * gk * inv appears in
+    # BOTH w1 and w2, and w2's remaining factor is a * inv — 3-4 fewer
+    # [R, m] VPU ops than the unfactored chain, no compare/where (the eps
+    # gates ride inv's zero-gate per the domain argument above). Planes
+    # move ~8e-6 of max vs the unfactored form (reassociation rounding).
     gk = (g / k)[:, None]  # [R, 1]
-    w1 = maskf * gk * jnp.sign(dot) * inv  # [R, m]
-    # the r > eps clamp-gate of the composed backward (denominator grad
-    # stops below eps), expressed on d0 (r > eps <=> d0 > eps^2); inv
-    # already zeroes d0 == 0 columns
-    w2 = maskf * gk * a * inv * jnp.where(d0 > _EPS * _EPS, inv, 0.0)
+    t = maskf * gk * inv  # [R, m]
+    w1 = t * jnp.sign(dot)
+    w2 = t * (a * inv)
 
     dn_r = (((0,), (0,)), ((), ()))  # contract the R axis
+    # All three contractions stay hi/lo split (2^-16): single-pass bf16 was
+    # measured FAST but QUALITY-NEGATIVE — full-bf16 ("tfacb", 0.516
+    # ms/call) amplifies to 11% of plane max through the q^T w2 / sum(w2)
+    # p3 cancellation (q - p_j is 10-30x smaller than q), and even
+    # bf16-only-for-nv^T-w1 ("tfach", 0.643) leaks 18% relative onto small
+    # plane entries because the w1 term partially cancels against the w2
+    # pair componentwise (tests/test_pallas_kernels.py grad contract).
     gp = (
         _dot_hilo(nv, w1, dn_r)
         + _dot_hilo(q, w2, dn_r)

@@ -48,14 +48,15 @@ from geoa3_tpu.ops.pallas.kappa_kernel import (
     kappa_selmask_call,
 )
 
-B, N, K, RB = 32, 1024, 16, 512
+B, N, K = 32, 1024, 16
+RB = int(os.environ.get("RB", 512))
 REPS = int(os.environ.get("REPS", 40))
 
 
 def _kernel_variant(
     q_ref, pt_ref, nrm_ref, mask_ref, ref_ref, sq_ref, out_ref, cen_ref,
     *, k, npts, directd, blockw, packmm=False, sdiagr=False, dsdiag=False,
-    rsq=False,
+    rsq=False, tfac=False, cen8=False, bfw=False,
 ):
     j = pl.program_id(1)
     q = q_ref[0]
@@ -83,7 +84,15 @@ def _kernel_variant(
             preferred_element_type=jnp.float32, precision=_HI,
         )
         d0 = jnp.maximum(q2 + p2 - 2.0 * qp, 0.0)
-    if rsq:
+    if tfac:
+        # zero-gated rsqrt WITHOUT the 1/eps min-clamp: the clamp (and the
+        # w2 r > eps gate) only bind when 0 < d0 <= eps^2 = 1e-24, which an
+        # f32 coordinate grid cannot produce — unit-scale coords quantise
+        # per-plane differences at ~1e-7, so any nonzero d0 is >= ~1e-14.
+        # inv's d0 == 0 gate remains the only (and sufficient) guard.
+        inv = jnp.where(d0 > 0.0, jax.lax.rsqrt(d0), 0.0)
+        r = rc = None
+    elif rsq:
         # gated rsqrt: 1/max(sqrt(d0), eps) == min(rsqrt(d0), 1/eps) in real
         # arithmetic (1-ulp class rounding differences); kills the sqrt AND
         # the [R, m] divide, and the w2 clamp-gate r > eps becomes
@@ -98,7 +107,7 @@ def _kernel_variant(
         inv = jnp.where(d0 > 0.0, 1.0 / rc, 0.0) if dsdiag else None
 
     pn = _dot_hilo(nv, p3, (((1,), (0,)), ((), ())))
-    if dsdiag or rsq:
+    if dsdiag or rsq or tfac:
         # shipped round-5 form: sdiag from a direct [R, 3] rowwise dot; the
         # d0 == 0 gate on inv zeroes self/duplicate columns
         sdiag = jnp.sum(nv * q, axis=-1)
@@ -127,7 +136,15 @@ def _kernel_variant(
     g = diff * (2.0 / npts)
 
     gk = (g / k)[:, None]
-    if rsq:
+    if tfac:
+        # t-factored weights: t = maskf * gk * inv appears in BOTH w1 and
+        # w2, and w2's remaining factor is a * inv (one product) — 3 fewer
+        # [R, m] VPU ops than the rsq form and no compare/where (the eps^2
+        # gate rides inv's own zero-gate per the domain argument above)
+        t = maskf * gk * inv
+        w1 = t * jnp.sign(dot)
+        w2 = t * (a * inv)
+    elif rsq:
         w1 = maskf * gk * jnp.sign(dot) * inv
         w2 = maskf * gk * a * inv * jnp.where(d0 > _EPS * _EPS, inv, 0.0)
     elif inv is not None:
@@ -138,7 +155,55 @@ def _kernel_variant(
         w2 = maskf * gk * jnp.where(r > _EPS, a / (rc * rc), 0.0)
 
     dn_r = (((0,), (0,)), ((), ()))
-    if packmm:
+    if bfw == "w1":
+        # single-pass bf16 ONLY for the nv^T w1 contraction — the q^T w2 /
+        # sum(w2) p3 pair cancels (q - p is ~10-30x smaller than q), which
+        # amplified full-bf16's 4e-3 to 11% (tfacb); the w1 term has no
+        # cancelling partner, so its bf16 rounding stays ~4e-3 of itself
+        _fb = functools.partial(
+            jax.lax.dot_general, preferred_element_type=jnp.float32,
+            precision=_PDEF,
+        )
+        gp = (
+            _fb(
+                nv.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+                dimension_numbers=dn_r,
+            )
+            + _dot_hilo(q, w2, dn_r)
+            - jnp.sum(w2, axis=0)[None, :] * p3
+        )
+        w2p = _dot_hilo(w2, p3, (((1,), (1,)), ((), ())))
+        gq = (
+            -jnp.sum(w1, axis=1)[:, None] * nv
+            + w2p
+            - jnp.sum(w2, axis=1)[:, None] * q
+        )
+    elif bfw:
+        # single-pass bf16 backward contractions: the w1/w2 weights round
+        # to bf16 once (no hi/lo split casts) and each plane contraction is
+        # ONE MXU pass with f32 accumulate — ~4e-3 relative per weight,
+        # against the 5e-3-of-max plane tolerance
+        _fb = functools.partial(
+            jax.lax.dot_general, preferred_element_type=jnp.float32,
+            precision=_PDEF,
+        )
+        w1b = w1.astype(jnp.bfloat16)
+        w2b = w2.astype(jnp.bfloat16)
+        gp = (
+            _fb(nv.astype(jnp.bfloat16), w1b, dimension_numbers=dn_r)
+            + _fb(q.astype(jnp.bfloat16), w2b, dimension_numbers=dn_r)
+            - jnp.sum(w2, axis=0)[None, :] * p3
+        )
+        w2p = _fb(
+            w2b, p3.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+        )
+        gq = (
+            -jnp.sum(w1, axis=1)[:, None] * nv
+            + w2p
+            - jnp.sum(w2, axis=1)[:, None] * q
+        )
+    elif packmm:
         # ONE stacked contraction for the neighbour-side planes:
         # [nv; q] [2R, 3] x [w1; w2] [2R, m] over the 2R axis
         # == nv^T w1 + q^T w2, and ONE for the center-side row stats:
@@ -166,7 +231,18 @@ def _kernel_variant(
             + w2p
             - jnp.sum(w2, axis=1)[:, None] * q
         )  # [R, 3]
-    if blockw:
+    if cen8:
+        # transpose-free center write: cen block is (1, R, 8) — rows are
+        # this block's points, lanes 0..2 the gradient — so gq lands
+        # without the [R, 3] -> [3, R] sublane/lane shuffle; the caller
+        # transposes the tiny [b, n, 8] once in XLA
+        cen_ref[0] = jnp.concatenate(
+            [gq, jnp.zeros((R, 5), jnp.float32)], axis=1
+        )
+        contrib = jnp.concatenate(
+            [gp, jnp.zeros((5, m), jnp.float32)], axis=0
+        )
+    elif blockw:
         # static block write to this row block's own columns; summed with
         # gp outside the kernel
         cen_ref[0] = jnp.concatenate(
@@ -201,22 +277,35 @@ def _kernel_variant(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "rb", "directd", "blockw", "packmm", "sdiagr", "dsdiag", "rsq"
+        "k", "rb", "directd", "blockw", "packmm", "sdiagr", "dsdiag", "rsq",
+        "tfac", "cen8", "bfw",
     ),
 )
 def _variant_call(
     cloud, normal, ref, mask, k, rb, directd, blockw, packmm=False,
-    sdiagr=False, dsdiag=False, rsq=False,
+    sdiagr=False, dsdiag=False, rsq=False, tfac=False, cen8=False,
+    bfw=False,
 ):
     b, n, _ = cloud.shape
     grid = (b, n // rb)
     pt = jnp.concatenate(
         [jnp.swapaxes(cloud, 1, 2), jnp.zeros((b, 5, n), jnp.float32)], axis=1
     )
+    cen_spec = (
+        pl.BlockSpec((1, rb, 8), lambda i, j: (i, j, 0))
+        if cen8
+        else pl.BlockSpec((1, 8, rb), lambda i, j: (i, 0, j))
+    )
+    cen_shape = (
+        jax.ShapeDtypeStruct((b, n, 8), jnp.float32)
+        if cen8
+        else jax.ShapeDtypeStruct((b, 8, n), jnp.float32)
+    )
     sq, planes, cen = pl.pallas_call(
         functools.partial(
             _kernel_variant, k=k, npts=n, directd=directd, blockw=blockw,
             packmm=packmm, sdiagr=sdiagr, dsdiag=dsdiag, rsq=rsq,
+            tfac=tfac, cen8=cen8, bfw=bfw,
         ),
         grid=grid,
         in_specs=[
@@ -229,16 +318,19 @@ def _variant_call(
         out_specs=[
             pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, 8, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 8, rb), lambda i, j: (i, 0, j)),
+            cen_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
+            cen_shape,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
     )(cloud, pt, normal, mask, ref[:, None, :])
-    planes = planes + cen if blockw else planes
+    if cen8:
+        planes = planes + jnp.swapaxes(cen, 1, 2)
+    elif blockw:
+        planes = planes + cen
     return jnp.sum(sq[:, 0], axis=-1) / n, planes
 
 
@@ -311,6 +403,16 @@ def main():
         # and gates the w2 clamp on d0 > eps^2 so r never materialises
         "ship": dict(directd=True, blockw=True, dsdiag=True),
         "ship+rsq": dict(directd=True, blockw=True, rsq=True),
+        # round-5b: t-factored weights (t = maskf*gk*inv shared by w1/w2,
+        # w2 = t * (a*inv)) with the eps clamps riding inv's zero-gate —
+        # 3-4 fewer [R, m] VPU ops and no compare/where in the weight pass
+        "tfac": dict(directd=True, blockw=True, tfac=True),
+        # + transpose-free (1, R, 8) center write (caller transposes once)
+        "tfac8": dict(directd=True, blockw=True, tfac=True, cen8=True),
+        # + single-pass bf16 backward contractions (no hi/lo splits)
+        "tfacb": dict(directd=True, blockw=True, tfac=True, bfw=True),
+        # + bf16 single-pass for the cancellation-free nv^T w1 dot only
+        "tfach": dict(directd=True, blockw=True, tfac=True, bfw="w1"),
     }
     only = os.environ.get("VARIANTS")
     if only:
