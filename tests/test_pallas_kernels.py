@@ -1222,6 +1222,36 @@ class TestKappaKernel:
             np.asarray(gt_), np.asarray(gc_), rtol=5e-3, atol=2e-5
         )
 
+    def test_curv_term_duplicate_points_finite(self, rng):
+        """Round-5b removed the dead eps clamps from the curv_term kernel
+        (the 1/eps min on rsqrt and the w2 eps^2 gate) on the argument that
+        only d0 == 0 is reachable on an f32 coordinate grid and the d0 == 0
+        gate alone covers it. Pin that: a cloud with EXACT duplicate points
+        (d0 == 0 off the diagonal too) must yield finite value and finite
+        gradient planes, with the duplicate column contributing zero."""
+        from geoa3_tpu.ops.pallas.kappa_kernel import (
+            curv_term_frommask_pallas,
+            kappa_selmask_call,
+        )
+
+        cloud, nrm = self._data(rng, b=1, n=128)
+        cloud = np.array(cloud, copy=True)
+        cloud[0, 17] = cloud[0, 3]  # exact duplicate pair
+        cloud[0, 64] = cloud[0, 3]  # triple
+        cloud = jnp.asarray(cloud)
+        ref = jnp.asarray(np.abs(rng.randn(1, 128)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            mask = kappa_selmask_call(cloud, 8, 64, "exact")
+
+            def loss(c):
+                return jnp.sum(
+                    curv_term_frommask_pallas(c, nrm, ref, mask, 8, 64)
+                )
+
+            val, grad = jax.value_and_grad(loss)(cloud)
+        assert np.isfinite(np.asarray(val)).all()
+        assert np.isfinite(np.asarray(grad)).all()
+
     def test_curv_term_ops_fallback_parity(self, rng):
         """ops.curv_term_from_mask's composed fallback (what CPU runs) must
         match the interpret-mode kernel within the documented kappa
